@@ -1,0 +1,76 @@
+"""Training configuration — the reference's flag surface plus TPU extensions.
+
+The first block of fields mirrors the reference `Config` dataclass
+(src/train.py:20-34) verbatim (same names, defaults, semantics) so a
+user of the reference can reuse their command lines. The second block
+exposes what the reference hard-codes (model/encoding hyperparameters,
+src/train.py:78-79) and adds TPU-native controls (bf16, fused Pallas
+kernels, data-parallel mesh, profiling).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax.numpy as jnp
+
+from tinynerf_tpu.models.tinynerf import TinyNeRFConfig
+from tinynerf_tpu.ops.encoding import encoding_dim
+from tinynerf_tpu.training import TrainSettings
+
+
+@dataclass
+class Config:
+    # --- reference-parity surface (src/train.py:20-34) ---
+    iters: int = 20000  # total training steps
+    n_rand: int = 2048  # random rays per step
+    n_samples: int = 64  # samples along each ray
+    lr: float = 5e-4
+    near: float = 2.0
+    far: float = 6.0
+    log_every: int = 50
+    preview_every: int = 500
+    ckpt_every: int = 1000
+    ckpt_path: str = "checkpoints/tinynerf_latest.npz"
+    out_dir: str = "outputs"
+    resume: bool = True
+    preview_pose: Optional[int] = None  # None -> (img_i + 1) % N
+
+    # --- hyperparameters the reference hard-codes (src/train.py:78-79) ---
+    hidden: int = 128
+    depth: int = 4
+    skip_at: int = 2
+    num_freqs: int = 10
+    seed: int = 0
+    chunk: int = 8192  # rays per render chunk (src/train.py:43)
+
+    # --- TPU-native extensions ---
+    data_path: str = "data/tiny_nerf_data.npz"
+    allow_synthetic: bool = True  # fall back to the procedural scene offline
+    bf16: bool = True  # bfloat16 matmuls (fp32 params/accum)
+    fused: bool = False  # route rendering through the fused Pallas kernel
+    data_parallel: bool = False  # shard ray batches over all local devices
+    profile_dir: Optional[str] = None  # jax.profiler trace output
+    metrics_path: Optional[str] = None  # JSONL metrics log
+
+    def model_cfg(self) -> TinyNeRFConfig:
+        return TinyNeRFConfig(
+            in_dim=encoding_dim(self.num_freqs, include_input=True),
+            hidden=self.hidden,
+            depth=self.depth,
+            skip_at=self.skip_at,
+            compute_dtype=jnp.bfloat16 if self.bf16 else jnp.float32,
+        )
+
+    def train_settings(self) -> TrainSettings:
+        return TrainSettings(
+            n_rand=self.n_rand,
+            n_samples=self.n_samples,
+            near=self.near,
+            far=self.far,
+            num_freqs=self.num_freqs,
+            lr=self.lr,
+            white_bkgd=True,
+            model_cfg=self.model_cfg(),
+        )

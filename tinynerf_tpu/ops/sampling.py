@@ -1,0 +1,120 @@
+"""Depth sampling along rays: stratified (uniform-jittered) and
+hierarchical inverse-CDF importance sampling.
+
+Stratified sampling matches the reference `src/sampling.py:3-28`:
+z = near*(1-t) + far*t with t = linspace(0,1,n); when randomized, each
+bin [lower_i, upper_i] (bin edges from midpoints) gets one uniform draw.
+
+RNG discipline (TPU-first): randomness comes from an explicit
+`jax.random` key (the reference uses torch global RNG, src/sampling.py:24);
+callers split/fold keys per step and per device so jitted/sharded
+training stays reproducible.
+
+`sample_pdf` implements the full-NeRF hierarchical resampling (inverse
+CDF over composite weights) with static shapes: sorting-free
+searchsorted over the (already sorted) bin CDF, jit/vmap/shard-friendly.
+The reference has no counterpart (capability upgrade per BASELINE
+config 4).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def stratified_samples(
+    near,
+    far,
+    n_samples: int,
+    rays_o: jax.Array,
+    rays_d: jax.Array,
+    randomized: bool = True,
+    key: Optional[jax.Array] = None,
+):
+    """Sample n_samples depths in [near, far] per ray; optional jitter.
+
+    Args:
+      near, far: floats (or arrays broadcastable to (N_rays, 1)).
+      n_samples: static sample count.
+      rays_o, rays_d: (N_rays, 3).
+      randomized: static Python bool; when True, `key` is required.
+      key: jax PRNG key used for the per-bin uniform jitter.
+
+    Returns:
+      z_vals: (N_rays, n_samples) float32
+      pts:    (N_rays, n_samples, 3) float32 — o + d * z
+    """
+    n_rays = rays_o.shape[0]
+    t_vals = jnp.linspace(0.0, 1.0, n_samples, dtype=jnp.float32)
+    z_vals = near * (1.0 - t_vals) + far * t_vals  # (n_samples,)
+    z_vals = jnp.broadcast_to(z_vals, (n_rays, n_samples))
+
+    if randomized:
+        if key is None:
+            raise ValueError("stratified_samples(randomized=True) requires a PRNG key")
+        mids = 0.5 * (z_vals[:, :-1] + z_vals[:, 1:])
+        upper = jnp.concatenate([mids, z_vals[:, -1:]], axis=-1)
+        lower = jnp.concatenate([z_vals[:, :1], mids], axis=-1)
+        t_rand = jax.random.uniform(key, z_vals.shape, dtype=jnp.float32)
+        z_vals = lower + (upper - lower) * t_rand
+
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+    return z_vals, pts
+
+
+def sample_pdf(
+    bins: jax.Array,
+    weights: jax.Array,
+    n_importance: int,
+    randomized: bool = True,
+    key: Optional[jax.Array] = None,
+    eps: float = 1e-5,
+):
+    """Inverse-CDF sampling of `n_importance` depths from a piecewise
+    PDF defined by `weights` over `bins` (hierarchical / "fine" sampling).
+
+    Args:
+      bins: (N_rays, B+1) sorted bin edges (e.g. z_val midpoints).
+      weights: (N_rays, B) non-negative, typically composite weights.
+      n_importance: static number of new samples.
+      randomized: stratified-uniform u's when True, else linspace.
+      key: PRNG key (required when randomized).
+
+    Returns:
+      samples: (N_rays, n_importance), sorted ascending per ray.
+
+    Static-shape inverse CDF: searchsorted over the cumulative sum —
+    no data-dependent shapes, safe under jit/vmap/shard_map.
+    """
+    n_rays, n_bins = weights.shape
+    weights = weights + eps  # avoid nans when a ray has all-zero weights
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], axis=-1)  # (N, B+1)
+
+    if randomized:
+        if key is None:
+            raise ValueError("sample_pdf(randomized=True) requires a PRNG key")
+        u = jax.random.uniform(key, (n_rays, n_importance), dtype=jnp.float32)
+    else:
+        u = jnp.linspace(0.0, 1.0, n_importance, dtype=jnp.float32)
+        u = jnp.broadcast_to(u, (n_rays, n_importance))
+
+    # For each u, find the bin such that cdf[i] <= u < cdf[i+1].
+    idx = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    below = jnp.clip(idx - 1, 0, n_bins)
+    above = jnp.clip(idx, 0, n_bins)
+
+    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_below = jnp.take_along_axis(bins, below, axis=-1)
+    bins_above = jnp.take_along_axis(bins, above, axis=-1)
+
+    denom = cdf_above - cdf_below
+    denom = jnp.where(denom < 1e-8, 1.0, denom)
+    t = (u - cdf_below) / denom
+    samples = bins_below + t * (bins_above - bins_below)
+    return jnp.sort(samples, axis=-1)

@@ -1,0 +1,147 @@
+"""Full-image rendering: the encode->MLP->composite chain over ray chunks.
+
+Behavioral parity with the reference's `render_one` (src/train.py:36-59):
+rays for a pose are processed in fixed-size chunks (default 8192) with
+un-jittered stratified samples, and chunking never changes the result
+(rays are independent). TPU-first differences:
+
+- the chunk loop is a `jax.lax.map` inside one jitted program (static
+  shapes, no per-chunk dispatch) instead of a Python loop;
+- H*W is padded up to a chunk multiple and un-padded after, keeping all
+  shapes static;
+- the hot per-chunk computation can route through the fused Pallas
+  kernel (`kernels/fused_render.py`) that keeps sample points in VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from tinynerf_tpu.models.tinynerf import TinyNeRFConfig, apply_tinynerf
+from tinynerf_tpu.ops.encoding import positional_encoding
+from tinynerf_tpu.ops.rays import get_rays
+from tinynerf_tpu.ops.sampling import stratified_samples
+from tinynerf_tpu.ops.volume import volume_render
+
+
+def render_rays(
+    params,
+    rays_o: jax.Array,
+    rays_d: jax.Array,
+    *,
+    n_samples: int = 64,
+    near: float = 2.0,
+    far: float = 6.0,
+    num_freqs: int = 10,
+    white_bkgd: bool = True,
+    model_cfg: TinyNeRFConfig = TinyNeRFConfig(),
+    use_fused: bool = False,
+) -> jax.Array:
+    """Deterministically render a batch of rays to composite RGB (R, 3)."""
+    if use_fused:
+        from tinynerf_tpu.kernels.fused_render import fused_render_rays
+
+        return fused_render_rays(
+            params,
+            rays_o,
+            rays_d,
+            n_samples=n_samples,
+            near=near,
+            far=far,
+            num_freqs=num_freqs,
+            white_bkgd=white_bkgd,
+            model_cfg=model_cfg,
+        )
+    n_rays = rays_o.shape[0]
+    z_vals, pts = stratified_samples(near, far, n_samples, rays_o, rays_d, randomized=False)
+    xenc = positional_encoding(pts.reshape(-1, 3), num_freqs=num_freqs)
+    rgb, sigma = apply_tinynerf(params, xenc, model_cfg)
+    rgb = rgb.reshape(n_rays, n_samples, 3)
+    sigma = sigma.reshape(n_rays, n_samples)
+    comp_rgb, _, _, _ = volume_render(rgb, sigma, z_vals, rays_d, white_bkgd=white_bkgd)
+    return comp_rgb
+
+
+def render_image_fn(
+    params,
+    pose: jax.Array,
+    *,
+    H: int,
+    W: int,
+    focal: float,
+    chunk: int = 8192,
+    n_samples: int = 64,
+    near: float = 2.0,
+    far: float = 6.0,
+    num_freqs: int = 10,
+    white_bkgd: bool = True,
+    model_cfg: TinyNeRFConfig = TinyNeRFConfig(),
+    use_fused: bool = False,
+) -> jax.Array:
+    """Render a full (H, W, 3) image for one camera pose (pure, jittable)."""
+    rays_o, rays_d = get_rays(H, W, focal, pose)
+    hw = H * W
+    n_chunks = -(-hw // chunk)
+    pad = n_chunks * chunk - hw
+    rays_o = jnp.pad(rays_o, ((0, pad), (0, 0)))
+    # Pad directions with unit z so norms stay finite for padded rays.
+    rays_d = jnp.concatenate(
+        [rays_d, jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (pad, 3))], axis=0
+    )
+
+    def one_chunk(args):
+        ro, rd = args
+        return render_rays(
+            params,
+            ro,
+            rd,
+            n_samples=n_samples,
+            near=near,
+            far=far,
+            num_freqs=num_freqs,
+            white_bkgd=white_bkgd,
+            model_cfg=model_cfg,
+            use_fused=use_fused,
+        )
+
+    out = jax.lax.map(
+        one_chunk, (rays_o.reshape(n_chunks, chunk, 3), rays_d.reshape(n_chunks, chunk, 3))
+    )
+    img = out.reshape(n_chunks * chunk, 3)[:hw].reshape(H, W, 3)
+    return jnp.clip(img, 0.0, 1.0)
+
+
+def make_image_renderer(
+    *,
+    H: int,
+    W: int,
+    focal: float,
+    chunk: int = 8192,
+    n_samples: int = 64,
+    near: float = 2.0,
+    far: float = 6.0,
+    num_freqs: int = 10,
+    white_bkgd: bool = True,
+    model_cfg: TinyNeRFConfig = TinyNeRFConfig(),
+    use_fused: bool = False,
+):
+    """Build a jitted `(params, pose) -> (H, W, 3)` renderer."""
+    fn = functools.partial(
+        render_image_fn,
+        H=H,
+        W=W,
+        focal=float(focal),
+        chunk=chunk,
+        n_samples=n_samples,
+        near=near,
+        far=far,
+        num_freqs=num_freqs,
+        white_bkgd=white_bkgd,
+        model_cfg=model_cfg,
+        use_fused=use_fused,
+    )
+    return jax.jit(fn)

@@ -1,0 +1,187 @@
+"""Training driver: `python -m tinynerf_tpu.train --iters 20000 ...`
+
+Keeps the reference driver's behavior (src/train.py:61-164): seed,
+data load, model/optimizer build, resume-by-default from checkpoint,
+ray precompute for all poses, the train loop with loss/PSNR logging
+every log_every, preview PNGs every preview_every, checkpoints every
+ckpt_every, and a final checkpoint + final.png render.
+
+TPU-native structure: steps run in jit-compiled `lax.scan` blocks
+(dispatch amortized), rays for all poses are precomputed by one vmapped
+XLA program, previews render through the jitted chunked renderer, and
+optional data-parallel sharding spreads each ray batch over every
+local device (grad psum over ICI).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tinynerf_tpu.config import Config
+from tinynerf_tpu.data import ensure_data
+from tinynerf_tpu.ops.rays import get_rays_for_poses
+from tinynerf_tpu.render import make_image_renderer
+from tinynerf_tpu.training import init_train_state, make_train_block
+from tinynerf_tpu.utils import checkpoint as ckpt_lib
+from tinynerf_tpu.utils.cli import cli
+from tinynerf_tpu.utils.image_io import write_png
+
+
+def _boundaries(start: int, end: int, *cadences: int):
+    """Yield (block_start, block_len) segments cut at every cadence multiple."""
+    step = start
+    while step < end:
+        nxt = min(
+            [end] + [((step // c) + 1) * c for c in cadences if c > 0]
+        )
+        yield step, nxt - step
+        step = nxt
+
+
+def main(cfg: Config) -> dict:
+    t_start = time.time()
+    os.makedirs(cfg.out_dir, exist_ok=True)
+    print(f"[device] {jax.devices()} jax={jax.__version__}")
+
+    d = ensure_data(cfg.data_path, allow_synthetic=cfg.allow_synthetic)
+    images = jnp.asarray(d["images"])
+    poses = jnp.asarray(d["poses"])
+    focal = float(d["focal"])
+    n_images, H, W, _ = images.shape
+    print(
+        f"[data] N={n_images} H={H} W={W} focal={focal:.2f}"
+        + (" (synthetic)" if d.get("synthetic") else "")
+    )
+
+    settings = cfg.train_settings()
+    key = jax.random.PRNGKey(cfg.seed)
+    params, opt_state = init_train_state(key, settings)
+
+    # Resume (src/train.py:84-92 semantics: model+opt+step when present).
+    start_step = 0
+    if cfg.resume and ckpt_lib.latest_exists(cfg.ckpt_path):
+        params, opt_state, start_step, _ = ckpt_lib.restore_checkpoint(
+            cfg.ckpt_path, params, opt_state
+        )
+        params = jax.device_put(params)
+        opt_state = jax.device_put(opt_state)
+        print(f"[resume] loaded {cfg.ckpt_path} from step {start_step}")
+
+    # Precompute rays for every pose: one XLA program (vs host loop).
+    rays_o_all, rays_d_all = get_rays_for_poses(H, W, focal, poses)
+    pixels = images.reshape(n_images, H * W, 3)
+
+    if cfg.data_parallel and jax.device_count() > 1:
+        from tinynerf_tpu.parallel.train import make_sharded_train_block
+
+        train_block_factory = lambda n: make_sharded_train_block(settings, n)
+    else:
+        train_block_factory = lambda n: make_train_block(settings, n)
+
+    renderer = make_image_renderer(
+        H=H,
+        W=W,
+        focal=focal,
+        chunk=cfg.chunk,
+        n_samples=cfg.n_samples,
+        near=cfg.near,
+        far=cfg.far,
+        num_freqs=cfg.num_freqs,
+        model_cfg=cfg.model_cfg(),
+        use_fused=cfg.fused,
+    )
+
+    def save_ckpt(step: int):
+        ckpt_lib.save_checkpoint(
+            cfg.ckpt_path,
+            params,
+            opt_state,
+            step,
+            meta={
+                "in_dim": cfg.model_cfg().in_dim,
+                "cfg": {
+                    "hidden": cfg.hidden,
+                    "depth": cfg.depth,
+                    "skip_at": cfg.skip_at,
+                    "num_freqs": cfg.num_freqs,
+                },
+            },
+        )
+
+    blocks = {}  # block_size -> compiled fn
+    metrics_f = open(cfg.metrics_path, "a") if cfg.metrics_path else None
+    if cfg.profile_dir:
+        jax.profiler.start_trace(cfg.profile_dir)
+
+    try:
+        from tqdm import tqdm
+
+        pbar = tqdm(total=cfg.iters, initial=start_step, desc="train")
+        last = {}
+        t0 = time.time()
+        for block_start, block_len in _boundaries(
+            start_step, cfg.iters, cfg.log_every, cfg.preview_every, cfg.ckpt_every
+        ):
+            if block_len not in blocks:
+                blocks[block_len] = train_block_factory(block_len)
+            params, opt_state, metrics = blocks[block_len](
+                params,
+                opt_state,
+                key,
+                jnp.int32(block_start),
+                rays_o_all,
+                rays_d_all,
+                pixels,
+            )
+            step_end = block_start + block_len
+            pbar.update(block_len)
+
+            if step_end % cfg.log_every == 0 or step_end == cfg.iters:
+                last = {
+                    "loss": float(metrics["loss"][-1]),
+                    "psnr": float(metrics["psnr"][-1]),
+                }
+                pbar.set_postfix(**last)
+                if metrics_f:
+                    metrics_f.write(json.dumps({"step": step_end, **last}) + "\n")
+                    metrics_f.flush()
+
+            if step_end % cfg.preview_every == 0:
+                img_i = (step_end - 1) % n_images
+                pose_idx = (
+                    (img_i + 1) if cfg.preview_pose is None else cfg.preview_pose
+                ) % n_images
+                img = renderer(params, poses[pose_idx])
+                write_png(f"{cfg.out_dir}/preview_{step_end:06d}.png", np.asarray(img))
+
+            if step_end % cfg.ckpt_every == 0:
+                save_ckpt(step_end)
+        pbar.close()
+        dt = time.time() - t0
+    finally:
+        if cfg.profile_dir:
+            jax.profiler.stop_trace()
+        if metrics_f:
+            metrics_f.close()
+
+    save_ckpt(cfg.iters)
+    img = renderer(params, poses[-1])
+    write_png(f"{cfg.out_dir}/final.png", np.asarray(img))
+    trained_steps = cfg.iters - start_step
+    rays_per_sec = (trained_steps * cfg.n_rand / dt) if dt > 0 and trained_steps else 0.0
+    print(
+        f"[done] {cfg.iters} iters in {(time.time() - t_start)/60:.2f} min "
+        f"(train loop {dt:.1f}s, {rays_per_sec:,.0f} rays/s) | "
+        f"saved {cfg.ckpt_path} and {cfg.out_dir}/final.png"
+    )
+    return {"final_psnr": last.get("psnr"), "rays_per_sec": rays_per_sec, "params": params}
+
+
+if __name__ == "__main__":
+    main(cli(Config, description="Train TinyNeRF on TPU"))
