@@ -1,0 +1,134 @@
+"""Benchmark harness. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Headline metric: steady-state training throughput in rays/sec/chip at
+the reference's canonical recipe (2048 rays/step x 64 samples,
+src/train.py:22-24). vs_baseline divides by the measured PyTorch-CPU
+baseline (benchmarks/torch_baseline.py; cached in
+benchmarks/baseline_measured.json) — the BASELINE.md north star asks
+for >= 20x. Extras report render throughput and per-step latency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_CACHE = "benchmarks/baseline_measured.json"
+
+
+def _sync(x):
+    """Force device->host completion (block_until_ready alone does not
+    synchronize through remote-TPU tunnels like axon)."""
+    return np.asarray(x)
+
+
+def _measure_train_rays_per_sec(params, opt_state, block, data, n_rand, block_size, reps=5):
+    key = jax.random.PRNGKey(0)
+    # Warm up / compile.
+    params, opt_state, m = block(params, opt_state, key, jnp.int32(0), *data)
+    _sync(m["loss"])
+    t0 = time.perf_counter()
+    for r in range(reps):
+        params, opt_state, m = block(
+            params, opt_state, key, jnp.int32((r + 1) * block_size), *data
+        )
+    _sync(m["loss"])
+    dt = time.perf_counter() - t0
+    steps = reps * block_size
+    return n_rand * steps / dt, dt / steps
+
+
+def _measure_render_rays_per_sec(renderer, params, pose, hw, reps=10):
+    img = renderer(params, pose)
+    _sync(img)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        img = renderer(params, pose)
+    _sync(img)
+    dt = time.perf_counter() - t0
+    return hw * reps / dt
+
+
+def _torch_cpu_baseline() -> float:
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return float(json.load(f)["train_rays_per_sec"])
+    from benchmarks.torch_baseline import measure_torch_cpu_rays_per_sec
+
+    val = measure_torch_cpu_rays_per_sec()
+    os.makedirs(os.path.dirname(BASELINE_CACHE), exist_ok=True)
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump(
+            {"train_rays_per_sec": val, "config": "2048 rays x 64 samples, torch CPU"},
+            f,
+        )
+    return val
+
+
+def main() -> None:
+    from tinynerf_tpu.config import Config
+    from tinynerf_tpu.data import ensure_data
+    from tinynerf_tpu.ops.rays import get_rays_for_poses
+    from tinynerf_tpu.render import make_image_renderer
+    from tinynerf_tpu.training import init_train_state, make_train_block
+
+    cfg = Config()
+    d = ensure_data(cfg.data_path, allow_synthetic=True)
+    images = jnp.asarray(d["images"])
+    poses = jnp.asarray(d["poses"])
+    focal = float(d["focal"])
+    n_images, H, W, _ = images.shape
+
+    settings = cfg.train_settings()
+    params, opt_state = init_train_state(jax.random.PRNGKey(0), settings)
+    rays_o_all, rays_d_all = get_rays_for_poses(H, W, focal, poses)
+    pixels = images.reshape(n_images, H * W, 3)
+    data = (rays_o_all, rays_d_all, pixels)
+
+    block_size = 50
+    block = make_train_block(settings, block_size)
+    train_rps, step_time = _measure_train_rays_per_sec(
+        params, opt_state, block, data, cfg.n_rand, block_size
+    )
+
+    params2, _ = init_train_state(jax.random.PRNGKey(0), settings)
+    renderer = make_image_renderer(
+        H=H,
+        W=W,
+        focal=focal,
+        chunk=cfg.chunk,
+        n_samples=cfg.n_samples,
+        near=cfg.near,
+        far=cfg.far,
+        num_freqs=cfg.num_freqs,
+        model_cfg=cfg.model_cfg(),
+        use_fused=cfg.fused,
+    )
+    render_rps = _measure_render_rays_per_sec(renderer, params2, poses[0], H * W)
+
+    baseline = _torch_cpu_baseline()
+    result = {
+        "metric": "train_rays_per_sec_per_chip",
+        "value": round(train_rps, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(train_rps / baseline, 2),
+        "extras": {
+            "render_rays_per_sec_per_chip": round(render_rps, 1),
+            "train_step_ms": round(step_time * 1e3, 3),
+            "torch_cpu_baseline_rays_per_sec": round(baseline, 1),
+            "device": str(jax.devices()[0]),
+            "recipe": f"{cfg.n_rand} rays x {cfg.n_samples} samples, bf16 matmuls",
+            "dataset": "synthetic" if d.get("synthetic") else "tiny_nerf_data.npz",
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -71,3 +71,93 @@ def volume_render(
         comp_rgb = comp_rgb + (1.0 - acc)
 
     return comp_rgb, depth, acc, weights
+
+
+# ---------------------------------------------------------------------------
+# Blockwise (sequence-parallel) composite.
+#
+# The per-ray sample axis is this workload's "sequence"; its sequential
+# dependency is the transmittance prefix-product. The composite is
+# associative over sample *blocks*: a block summarizes to
+#   T = prod(1 - alpha + eps)           (block transmittance)
+#   C = sum(w_local * rgb), D = sum(w_local * z), A = sum(w_local)
+# and blocks combine with an exclusive product of the T's. This lets
+# the sample axis be sharded across devices (parallel/: all_gather of
+# tiny per-block summaries instead of the full sample axis) or streamed
+# block-by-block through VMEM (kernels/) for sample counts >> 64.
+# ---------------------------------------------------------------------------
+
+
+def composite_block_partials(rgb, sigma, z_vals, deltas):
+    """Summarize one sample block per ray.
+
+    Args:
+      rgb:    (..., S_blk, 3), sigma/z_vals/deltas: (..., S_blk) —
+      deltas must be the *global* deltas sliced to this block (they
+      depend on the next block's first z and the 1e10 terminal delta).
+
+    Returns dict with T (...,), C (..., 3), D (...,), A (...,).
+    """
+    rgb = rgb.astype(jnp.float32)
+    sigma = sigma.astype(jnp.float32)
+    alpha = 1.0 - jnp.exp(-sigma * deltas)
+    one_m = 1.0 - alpha + TRANS_EPS
+    accum = jnp.cumprod(one_m, axis=-1)
+    trans = jnp.concatenate([jnp.ones_like(accum[..., :1]), accum[..., :-1]], axis=-1)
+    w = alpha * trans
+    return {
+        "T": accum[..., -1],
+        "C": jnp.sum(w[..., None] * rgb, axis=-2),
+        "D": jnp.sum(w * z_vals, axis=-1),
+        "A": jnp.sum(w, axis=-1),
+    }
+
+
+def combine_block_partials(partials, white_bkgd: bool = True):
+    """Combine block summaries stacked on a leading block axis.
+
+    Args:
+      partials: dict of arrays with leading dim B (blocks, ordered
+        front-to-back): T (B, ...), C (B, ..., 3), D (B, ...), A (B, ...).
+
+    Returns (comp_rgb (..., 3), depth (..., 1), acc (..., 1)).
+    """
+    T, C, D, A = partials["T"], partials["C"], partials["D"], partials["A"]
+    cum = jnp.cumprod(T, axis=0)
+    lead = jnp.concatenate([jnp.ones_like(cum[:1]), cum[:-1]], axis=0)  # excl.
+    comp_rgb = jnp.sum(lead[..., None] * C, axis=0)
+    depth = jnp.sum(lead * D, axis=0)[..., None]
+    acc = jnp.sum(lead * A, axis=0)[..., None]
+    if white_bkgd:
+        comp_rgb = comp_rgb + (1.0 - acc)
+    return comp_rgb, depth, acc
+
+
+def global_deltas(z_vals, rays_d):
+    """(..., S) deltas with the 1e10 terminal and ||d|| scaling."""
+    z_vals = z_vals.astype(jnp.float32)
+    deltas = z_vals[..., 1:] - z_vals[..., :-1]
+    deltas = jnp.concatenate(
+        [deltas, jnp.full_like(deltas[..., :1], DELTA_INF)], axis=-1
+    )
+    return deltas * jnp.linalg.norm(rays_d, axis=-1, keepdims=True).astype(jnp.float32)
+
+
+def volume_render_blockwise(rgb, sigma, z_vals, rays_d, n_blocks: int, white_bkgd=True):
+    """Reference-equal composite computed via block partials (for tests
+    and as the semantic spec of the sharded/streamed paths)."""
+    if sigma.ndim == rgb.ndim:
+        sigma = sigma[..., 0]
+    *batch, S = z_vals.shape
+    assert S % n_blocks == 0, "n_blocks must divide n_samples"
+    sb = S // n_blocks
+    deltas = global_deltas(z_vals, rays_d)
+
+    def blk(b):
+        sl = slice(b * sb, (b + 1) * sb)
+        return composite_block_partials(
+            rgb[..., sl, :], sigma[..., sl], z_vals[..., sl], deltas[..., sl]
+        )
+
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *[blk(b) for b in range(n_blocks)])
+    return combine_block_partials(stacked, white_bkgd=white_bkgd)
