@@ -45,6 +45,14 @@ class Config:
     seed: int = 0
     chunk: int = 8192  # rays per render chunk (src/train.py:43)
 
+    # --- full-NeRF upgrade (BASELINE config 4; no reference counterpart) ---
+    model: str = "tinynerf"  # "tinynerf" | "nerf" (viewdirs + coarse/fine)
+    n_fine: int = 64  # fine samples per ray (nerf model only)
+    nerf_depth: int = 8
+    nerf_skip_at: int = 4
+    num_freqs_dir: int = 4
+    rgb_hidden: int = 64
+
     # --- TPU-native extensions ---
     data_path: str = "data/tiny_nerf_data.npz"
     allow_synthetic: bool = True  # fall back to the procedural scene offline
@@ -60,6 +68,19 @@ class Config:
             hidden=self.hidden,
             depth=self.depth,
             skip_at=self.skip_at,
+            compute_dtype=jnp.bfloat16 if self.bf16 else jnp.float32,
+        )
+
+    def nerf_cfg(self):
+        from tinynerf_tpu.models.nerf import NeRFConfig
+
+        return NeRFConfig(
+            num_freqs=self.num_freqs,
+            num_freqs_dir=self.num_freqs_dir,
+            hidden=self.hidden,
+            depth=self.nerf_depth,
+            skip_at=self.nerf_skip_at,
+            rgb_hidden=self.rgb_hidden,
             compute_dtype=jnp.bfloat16 if self.bf16 else jnp.float32,
         )
 

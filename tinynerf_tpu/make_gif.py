@@ -61,30 +61,60 @@ def main(cfg: GifConfig = GifConfig()) -> None:
         meta = _json.loads(str(z["meta"]))["meta"]
     mcfg_d = meta.get("cfg", {"hidden": 128, "depth": 4, "skip_at": 2, "num_freqs": 10})
     num_freqs = mcfg_d.get("num_freqs", 10)
-    model_cfg = TinyNeRFConfig(
-        in_dim=encoding_dim(num_freqs),
-        hidden=mcfg_d["hidden"],
-        depth=mcfg_d["depth"],
-        skip_at=mcfg_d["skip_at"],
-    )
-    settings = TrainSettings(num_freqs=num_freqs, model_cfg=model_cfg)
-    params_t, opt_t = init_train_state(jax.random.PRNGKey(0), settings)
+    model_kind = meta.get("model", "tinynerf")
+
+    if model_kind == "nerf":
+        from tinynerf_tpu.models.nerf import NeRFConfig, init_nerf
+        from tinynerf_tpu.render import make_hierarchical_image_renderer
+
+        ncfg = NeRFConfig(
+            num_freqs=num_freqs,
+            num_freqs_dir=mcfg_d.get("num_freqs_dir", 4),
+            hidden=mcfg_d["hidden"],
+            depth=mcfg_d["depth"],
+            skip_at=mcfg_d["skip_at"],
+            rgb_hidden=mcfg_d.get("rgb_hidden", 64),
+        )
+        settings = TrainSettings(num_freqs=num_freqs, n_samples=cfg.n_samples)
+        params_t, opt_t = init_train_state(
+            jax.random.PRNGKey(0), settings, init_fn=lambda k: init_nerf(k, ncfg)
+        )
+        renderer = make_hierarchical_image_renderer(
+            H=H,
+            W=W,
+            focal=focal,
+            chunk=min(cfg.chunk, 4096),
+            n_coarse=cfg.n_samples,
+            n_fine=mcfg_d.get("n_fine", 64),
+            near=cfg.near,
+            far=cfg.far,
+            nerf_cfg=ncfg,
+        )
+    else:
+        model_cfg = TinyNeRFConfig(
+            in_dim=encoding_dim(num_freqs),
+            hidden=mcfg_d["hidden"],
+            depth=mcfg_d["depth"],
+            skip_at=mcfg_d["skip_at"],
+        )
+        settings = TrainSettings(num_freqs=num_freqs, model_cfg=model_cfg)
+        params_t, opt_t = init_train_state(jax.random.PRNGKey(0), settings)
+        renderer = make_image_renderer(
+            H=H,
+            W=W,
+            focal=focal,
+            chunk=cfg.chunk,
+            n_samples=cfg.n_samples,
+            near=cfg.near,
+            far=cfg.far,
+            num_freqs=num_freqs,
+            model_cfg=model_cfg,
+            use_fused=cfg.fused,
+        )
     params, _, step, _ = ckpt_lib.restore_checkpoint(cfg.ckpt_path, params_t, opt_t)
-    print(f"[ckpt] loaded {cfg.ckpt_path} (step {step})")
+    print(f"[ckpt] loaded {cfg.ckpt_path} (step {step}, model {model_kind})")
 
     path = spiral_poses(poses[0], n_frames=cfg.n_frames, radius=cfg.radius)
-    renderer = make_image_renderer(
-        H=H,
-        W=W,
-        focal=focal,
-        chunk=cfg.chunk,
-        n_samples=cfg.n_samples,
-        near=cfg.near,
-        far=cfg.far,
-        num_freqs=num_freqs,
-        model_cfg=model_cfg,
-        use_fused=cfg.fused,
-    )
     frames = []
     t0 = time.time()
     for i in range(cfg.n_frames):

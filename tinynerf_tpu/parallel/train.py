@@ -81,6 +81,7 @@ def make_sharded_train_block(
     s: TrainSettings,
     block_size: int,
     mesh: Optional[Mesh] = None,
+    loss=None,
 ):
     """Jitted sharded K-step block with the same signature as
     training.make_train_block: (params, opt_state, key, step0,
@@ -97,6 +98,11 @@ def make_sharded_train_block(
         raise ValueError(f"n_rand={s.n_rand} not divisible by data axis {n_data}")
     if s.n_samples % n_sample:
         raise ValueError(f"n_samples={s.n_samples} not divisible by sample axis {n_sample}")
+    if loss is not None and n_sample > 1:
+        raise ValueError(
+            "custom losses (e.g. hierarchical NeRF) are data-parallel only; "
+            "use sample_parallel=1"
+        )
     local_rand = s.n_rand // n_data
     opt = make_optimizer(s.lr)
     axes = mesh.axis_names
@@ -112,10 +118,11 @@ def make_sharded_train_block(
         rd = rays_d_all[img_i][inds]
         target = pixels[img_i][inds]
 
-        grads, metrics = jax.grad(
-            lambda p: _sharded_loss(p, ro, rd, target, k_jitter, s, n_sample),
-            has_aux=True,
-        )(params)
+        if loss is not None:
+            local_loss = lambda p: loss(p, ro, rd, target, k_jitter, s)
+        else:
+            local_loss = lambda p: _sharded_loss(p, ro, rd, target, k_jitter, s, n_sample)
+        grads, metrics = jax.grad(local_loss, has_aux=True)(params)
         if n_sample > 1:
             # Each device's local grad is n_sample * (its block's true
             # contribution): the loss is computed redundantly on every

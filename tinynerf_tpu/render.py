@@ -66,6 +66,29 @@ def render_rays(
     return comp_rgb
 
 
+def chunked_over_rays(ray_fn, H: int, W: int, focal, pose: jax.Array, chunk: int):
+    """Generic chunked full-image driver: pad H*W rays to a chunk
+    multiple, lax.map `ray_fn(ro, rd) -> (chunk, 3)` over the chunks,
+    un-pad and reshape to (H, W, 3). Chunking never changes results
+    (rays are independent — the reference guarantee,
+    tiny_nerf_min.py:1424-1428, preserved here by construction)."""
+    rays_o, rays_d = get_rays(H, W, focal, pose)
+    hw = H * W
+    n_chunks = -(-hw // chunk)
+    pad = n_chunks * chunk - hw
+    rays_o = jnp.pad(rays_o, ((0, pad), (0, 0)))
+    # Pad directions with unit z so norms stay finite for padded rays.
+    rays_d = jnp.concatenate(
+        [rays_d, jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (pad, 3))], axis=0
+    )
+    out = jax.lax.map(
+        lambda args: ray_fn(*args),
+        (rays_o.reshape(n_chunks, chunk, 3), rays_d.reshape(n_chunks, chunk, 3)),
+    )
+    img = out.reshape(n_chunks * chunk, 3)[:hw].reshape(H, W, 3)
+    return jnp.clip(img, 0.0, 1.0)
+
+
 def render_image_fn(
     params,
     pose: jax.Array,
@@ -83,18 +106,8 @@ def render_image_fn(
     use_fused: bool = False,
 ) -> jax.Array:
     """Render a full (H, W, 3) image for one camera pose (pure, jittable)."""
-    rays_o, rays_d = get_rays(H, W, focal, pose)
-    hw = H * W
-    n_chunks = -(-hw // chunk)
-    pad = n_chunks * chunk - hw
-    rays_o = jnp.pad(rays_o, ((0, pad), (0, 0)))
-    # Pad directions with unit z so norms stay finite for padded rays.
-    rays_d = jnp.concatenate(
-        [rays_d, jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (pad, 3))], axis=0
-    )
 
-    def one_chunk(args):
-        ro, rd = args
+    def one_chunk(ro, rd):
         return render_rays(
             params,
             ro,
@@ -108,11 +121,47 @@ def render_image_fn(
             use_fused=use_fused,
         )
 
-    out = jax.lax.map(
-        one_chunk, (rays_o.reshape(n_chunks, chunk, 3), rays_d.reshape(n_chunks, chunk, 3))
-    )
-    img = out.reshape(n_chunks * chunk, 3)[:hw].reshape(H, W, 3)
-    return jnp.clip(img, 0.0, 1.0)
+    return chunked_over_rays(one_chunk, H, W, focal, pose, chunk)
+
+
+def make_hierarchical_image_renderer(
+    *,
+    H: int,
+    W: int,
+    focal: float,
+    chunk: int = 4096,
+    n_coarse: int = 64,
+    n_fine: int = 64,
+    near: float = 2.0,
+    far: float = 6.0,
+    white_bkgd: bool = True,
+    nerf_cfg=None,
+):
+    """Jitted `(params, pose) -> (H, W, 3)` renderer for the full NeRF
+    (coarse/fine) model: the fine composite is the output image."""
+    from tinynerf_tpu.models.nerf import NeRFConfig, render_rays_hierarchical
+
+    nerf_cfg = nerf_cfg or NeRFConfig()
+
+    def fn(params, pose):
+        def one_chunk(ro, rd):
+            _, comp_f = render_rays_hierarchical(
+                params,
+                ro,
+                rd,
+                n_coarse=n_coarse,
+                n_fine=n_fine,
+                near=near,
+                far=far,
+                white_bkgd=white_bkgd,
+                cfg=nerf_cfg,
+                randomized=False,
+            )
+            return comp_f
+
+        return chunked_over_rays(one_chunk, H, W, float(focal), pose, chunk)
+
+    return jax.jit(fn)
 
 
 def make_image_renderer(

@@ -61,7 +61,18 @@ def main(cfg: Config) -> dict:
 
     settings = cfg.train_settings()
     key = jax.random.PRNGKey(cfg.seed)
-    params, opt_state = init_train_state(key, settings)
+
+    if cfg.model == "nerf":
+        from tinynerf_tpu.models.nerf import init_nerf, make_hierarchical_loss
+
+        ncfg = cfg.nerf_cfg()
+        loss = make_hierarchical_loss(ncfg, n_fine=cfg.n_fine)
+        init_fn = lambda k: init_nerf(k, ncfg)
+    elif cfg.model == "tinynerf":
+        loss, init_fn = None, None
+    else:
+        raise ValueError(f"unknown model {cfg.model!r} (tinynerf|nerf)")
+    params, opt_state = init_train_state(key, settings, init_fn=init_fn)
 
     # Resume (src/train.py:84-92 semantics: model+opt+step when present).
     start_step = 0
@@ -80,22 +91,37 @@ def main(cfg: Config) -> dict:
     if cfg.data_parallel and jax.device_count() > 1:
         from tinynerf_tpu.parallel.train import make_sharded_train_block
 
-        train_block_factory = lambda n: make_sharded_train_block(settings, n)
+        train_block_factory = lambda n: make_sharded_train_block(settings, n, loss=loss)
     else:
-        train_block_factory = lambda n: make_train_block(settings, n)
+        train_block_factory = lambda n: make_train_block(settings, n, loss=loss)
 
-    renderer = make_image_renderer(
-        H=H,
-        W=W,
-        focal=focal,
-        chunk=cfg.chunk,
-        n_samples=cfg.n_samples,
-        near=cfg.near,
-        far=cfg.far,
-        num_freqs=cfg.num_freqs,
-        model_cfg=cfg.model_cfg(),
-        use_fused=cfg.fused,
-    )
+    if cfg.model == "nerf":
+        from tinynerf_tpu.render import make_hierarchical_image_renderer
+
+        renderer = make_hierarchical_image_renderer(
+            H=H,
+            W=W,
+            focal=focal,
+            chunk=min(cfg.chunk, 4096),
+            n_coarse=cfg.n_samples,
+            n_fine=cfg.n_fine,
+            near=cfg.near,
+            far=cfg.far,
+            nerf_cfg=ncfg,
+        )
+    else:
+        renderer = make_image_renderer(
+            H=H,
+            W=W,
+            focal=focal,
+            chunk=cfg.chunk,
+            n_samples=cfg.n_samples,
+            near=cfg.near,
+            far=cfg.far,
+            num_freqs=cfg.num_freqs,
+            model_cfg=cfg.model_cfg(),
+            use_fused=cfg.fused,
+        )
 
     def save_ckpt(step: int):
         ckpt_lib.save_checkpoint(
@@ -105,11 +131,15 @@ def main(cfg: Config) -> dict:
             step,
             meta={
                 "in_dim": cfg.model_cfg().in_dim,
+                "model": cfg.model,
                 "cfg": {
                     "hidden": cfg.hidden,
-                    "depth": cfg.depth,
-                    "skip_at": cfg.skip_at,
+                    "depth": cfg.depth if cfg.model == "tinynerf" else cfg.nerf_depth,
+                    "skip_at": cfg.skip_at if cfg.model == "tinynerf" else cfg.nerf_skip_at,
                     "num_freqs": cfg.num_freqs,
+                    "num_freqs_dir": cfg.num_freqs_dir,
+                    "rgb_hidden": cfg.rgb_hidden,
+                    "n_fine": cfg.n_fine,
                 },
             },
         )

@@ -74,7 +74,9 @@ def loss_fn(
     return loss, {"loss": loss, "psnr": mse2psnr(loss)}
 
 
-def _step_body(params, opt_state, key, step, rays_o_all, rays_d_all, pixels, s, opt):
+def _step_body(
+    params, opt_state, key, step, rays_o_all, rays_d_all, pixels, s, opt, loss
+):
     """One train step; step is a traced int32 scalar."""
     n_images, hw = rays_o_all.shape[0], rays_o_all.shape[1]
     img_i = jnp.mod(step, n_images)
@@ -86,41 +88,51 @@ def _step_body(params, opt_state, key, step, rays_o_all, rays_d_all, pixels, s, 
     target = pixels[img_i][inds]
 
     grads, metrics = jax.grad(
-        lambda p: loss_fn(p, ro, rd, target, k_jitter, s), has_aux=True
+        lambda p: loss(p, ro, rd, target, k_jitter, s), has_aux=True
     )(params)
     updates, opt_state = opt.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
     return params, opt_state, metrics
 
 
-def make_train_step(s: TrainSettings):
+def make_train_step(s: TrainSettings, loss=None):
     """Jitted single step:
     (params, opt_state, key, step, rays_o_all, rays_d_all, pixels)
       -> (params, opt_state, metrics)
+
+    `loss` is any (params, ro, rd, target, key, settings) ->
+    (scalar, metrics-dict) — defaults to the TinyNeRF MSE loss; the
+    hierarchical coarse/fine loss (models/nerf.make_hierarchical_loss)
+    plugs in here with a {'coarse','fine'} params pytree.
     """
     opt = make_optimizer(s.lr)
+    loss = loss or loss_fn
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, key, step, rays_o_all, rays_d_all, pixels):
-        return _step_body(params, opt_state, key, step, rays_o_all, rays_d_all, pixels, s, opt)
+        return _step_body(
+            params, opt_state, key, step, rays_o_all, rays_d_all, pixels, s, opt, loss
+        )
 
     return train_step
 
 
-def make_train_block(s: TrainSettings, block_size: int):
+def make_train_block(s: TrainSettings, block_size: int, loss=None):
     """Jitted `lax.scan` over `block_size` consecutive steps.
 
     Returns fn(params, opt_state, key, step0, rays_o_all, rays_d_all,
     pixels) -> (params, opt_state, metrics-with-leading-block-axis).
     """
     opt = make_optimizer(s.lr)
+    loss = loss or loss_fn
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_block(params, opt_state, key, step0, rays_o_all, rays_d_all, pixels):
         def body(carry, i):
             params, opt_state = carry
             params, opt_state, metrics = _step_body(
-                params, opt_state, key, step0 + i, rays_o_all, rays_d_all, pixels, s, opt
+                params, opt_state, key, step0 + i, rays_o_all, rays_d_all, pixels,
+                s, opt, loss,
             )
             return (params, opt_state), metrics
 
@@ -132,10 +144,17 @@ def make_train_block(s: TrainSettings, block_size: int):
     return train_block
 
 
-def init_train_state(key: jax.Array, s: TrainSettings):
-    """(params, opt_state) freshly initialized."""
-    from tinynerf_tpu.models.tinynerf import init_tinynerf
+def init_train_state(key: jax.Array, s: TrainSettings, init_fn=None):
+    """(params, opt_state) freshly initialized.
 
-    params = init_tinynerf(key, s.model_cfg)
+    `init_fn(key) -> params` overrides the default TinyNeRF init (e.g.
+    models/nerf.init_nerf for the coarse/fine pair).
+    """
+    if init_fn is None:
+        from tinynerf_tpu.models.tinynerf import init_tinynerf
+
+        params = init_tinynerf(key, s.model_cfg)
+    else:
+        params = init_fn(key)
     opt_state = make_optimizer(s.lr).init(params)
     return params, opt_state
