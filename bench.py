@@ -98,7 +98,7 @@ def main() -> None:
     )
 
     params2, _ = init_train_state(jax.random.PRNGKey(0), settings)
-    renderer = make_image_renderer(
+    render_kwargs = dict(
         H=H,
         W=W,
         focal=focal,
@@ -108,9 +108,18 @@ def main() -> None:
         far=cfg.far,
         num_freqs=cfg.num_freqs,
         model_cfg=cfg.model_cfg(),
-        use_fused=cfg.fused,
     )
-    render_rps = _measure_render_rays_per_sec(renderer, params2, poses[0], H * W)
+    render_rps = _measure_render_rays_per_sec(
+        make_image_renderer(use_fused=False, **render_kwargs), params2, poses[0], H * W
+    )
+    on_tpu = jax.default_backend() == "tpu"
+    render_rps_fused = (
+        _measure_render_rays_per_sec(
+            make_image_renderer(use_fused=True, **render_kwargs), params2, poses[0], H * W
+        )
+        if on_tpu
+        else None
+    )
 
     baseline = _torch_cpu_baseline()
     result = {
@@ -120,6 +129,9 @@ def main() -> None:
         "vs_baseline": round(train_rps / baseline, 2),
         "extras": {
             "render_rays_per_sec_per_chip": round(render_rps, 1),
+            "render_rays_per_sec_fused_kernel": (
+                round(render_rps_fused, 1) if render_rps_fused else None
+            ),
             "train_step_ms": round(step_time * 1e3, 3),
             "torch_cpu_baseline_rays_per_sec": round(baseline, 1),
             "device": str(jax.devices()[0]),

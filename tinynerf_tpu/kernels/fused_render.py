@@ -10,21 +10,35 @@ without ever touching HBM. Depth values and deltas are derived
 analytically in-register (deterministic stratified spacing, ref
 src/sampling.py:16-18 with randomized=False).
 
-Mosaic layout discipline — everything is 2-D, reshape-free, and
-MXU/VPU-shaped (Mosaic cannot shape-cast (TR,S) <-> (TR*S,1)):
-- flat (P, 1) <-> per-ray (TR, S) layout conversions are 0/1 selector
-  matmuls built from broadcasted_iota (G[r,p] = [p//S == r],
-  E[p,s] = [p%S == s]);
-- the frequency outer-product is a (3, 3L) "spread" matmul;
-- the MLP runs on (P, .) matrices, bf16 inputs / fp32 accumulation;
-- the transmittance prefix-product is exp(log-space cumsum), and the
-  exclusive cumsum along the sample axis is one (S, S) strictly-upper-
-  triangular matmul — no sequential scan.
+Layout: FEATURE-MAJOR (transposed). Sample points live on the LANE
+axis (ray-major order p = r*S + s) and features/channels on sublanes:
+activations are (features, P) matrices, so sin/cos/exp/sigmoid over
+3-to-63-row arrays use every lane instead of padding 3-to-7-wide
+row vectors to 128 lanes (a 4-16x VPU saving vs the naive layout),
+and the MLP is W^T(out,in) @ X(in,P) on the MXU with a huge N.
 
-Weight layout: the wrapper permutes the first-layer and skip rows of
-the model's weights so the kernel's (k-major) sin/cos feature order
-matches the reference's interleaved order (src/encoding.py:30-32) —
-outputs are numerically the model's, only the internal layout changes.
+Mosaic discipline — 2-D, reshape-free, matmul-free outside the MLP:
+- points are SAMPLE-MAJOR on lanes (p = s*TILE_R + r), so per-ray ->
+  per-point expansion is an exact lane tile (pltpu.repeat) and the
+  final per-ray reduction is a lane-halving adder tree;
+- the transmittance prefix-product is a segmented Hillis-Steele scan
+  along lanes (log2(S) rounds of pltpu.roll + masked multiply), exact
+  f32, no layout conversion, no sequential per-sample loop;
+- f32 matmuls carry Precision.HIGHEST (the TPU default is ONE bf16
+  pass — catastrophic for positions that feed sin(2^(L-1) x) and for
+  composite values); the big MLP matmuls are *intentionally* bf16 with
+  f32 accumulation.
+
+Weight layout: the wrapper transposes weights and permutes the
+first-layer / skip rows so the kernel's (k-major) sin/cos feature
+order matches the reference's interleaved order (src/encoding.py:30-32)
+— outputs are numerically the model's, only the layout changes.
+
+Known numeric edge (shared with every implementation of the rendering
+equation, including the reference): rays whose LAST sample's density
+sits within f32 noise of the ReLU boundary flip alpha_last between 0
+and 1 through the 1e10 terminal delta (src/volume.py:20). Parity holds
+everywhere else; trained models don't sit on the boundary.
 """
 
 from __future__ import annotations
@@ -41,11 +55,13 @@ from jax.experimental.pallas import tpu as pltpu
 from tinynerf_tpu.models.tinynerf import TinyNeRFConfig
 from tinynerf_tpu.ops.volume import DELTA_INF, TRANS_EPS
 
-DEFAULT_TILE_R = 64
+# Compiled TPU blocks need lane dims divisible by 128; 128 also
+# benchmarks fastest (1.75x over the unfused XLA path at 8192 rays).
+DEFAULT_TILE_R = 128
 
 
 def _encode_permutation(num_freqs: int) -> np.ndarray:
-    """perm[j] = model-feature index of kernel-encoding column j.
+    """perm[j] = model-feature index of kernel-encoding row j.
 
     Kernel layout: [x, y, z, sin(k-major), cos(k-major)]; model layout
     (ref src/encoding.py:30-32): [x, y, z, sin f0 (xyz), cos f0 (xyz),
@@ -65,10 +81,10 @@ def _iota2(shape, dim):
 
 
 def _fused_kernel(
-    o_ref,
-    d_ref,
-    *wb_refs,
-    out_ref,
+    o_ref,  # (3, TR) ray origins (transposed)
+    d_ref,  # (3, TR) ray directions (transposed)
+    *wb_refs,  # transposed weights (out, in) and biases (out, 1)
+    out_ref,  # (4, TR): comp_r, comp_g, comp_b, acc
     S: int,
     num_freqs: int,
     n_layers: int,
@@ -77,49 +93,39 @@ def _fused_kernel(
     far: float,
     compute_dtype,
 ):
-    TR = o_ref.shape[0]
+    TR = o_ref.shape[1]
     P = TR * S
     L = num_freqs
     f32 = jnp.float32
-    HI = jax.lax.Precision.HIGHEST  # f32 matmuls default to ONE bf16
-    # pass on the MXU — silent bf16 truncation is catastrophic for
-    # positions (errors scale by 2^(L-1) inside sin) and for the
-    # composite. The MLP's big matmuls are *intentionally* bf16; every
-    # other (tiny) matmul here runs at HIGHEST.
+    HI = jax.lax.Precision.HIGHEST
 
-    # Ray<-point selector (0/1) from iota; its transpose is reused for
-    # point<-ray expansion via dot_general, so only G is materialized.
-    G = (_iota2((TR, P), 1) // S == _iota2((TR, P), 0)).astype(f32)  # (TR, P)
+    # SAMPLE-MAJOR point order along lanes: p = s*TR + r. This makes
+    # per-ray -> per-point expansion an exact lane-tile (pltpu.repeat)
+    # and the final per-ray reduce a lane-halving adder tree — no
+    # selector matmuls, no (TR, P) selector matrix in VMEM.
+    s_row = _iota2((1, P), 1) // TR  # sample slot per point
+    t = s_row.astype(f32) / (S - 1)
+    z_row = near * (1.0 - t) + far * t  # (1, P)
 
-    def expand(x):  # (TR, k) -> (P, k): exact one-hot row selection
-        return jax.lax.dot_general(
-            G, x, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=f32, precision=HI,
-        )
+    norm = jnp.sqrt(jnp.sum(d_ref[:] * d_ref[:], axis=0, keepdims=True))  # (1, TR)
+    odn = pltpu.repeat(
+        jnp.concatenate([o_ref[:], d_ref[:], norm], axis=0), S, axis=1
+    )  # (7, P): S concatenated copies == sample-major expansion
+    pts = odn[0:3] + odn[3:6] * z_row  # (3, P)
 
-    # Analytic stratified depths (deterministic): z = near*(1-t) + far*t.
-    s_col = _iota2((P, 1), 0) % S  # int sample slot per point
-    t = s_col.astype(f32) / (S - 1)
-    z_col = near * (1.0 - t) + far * t  # (P, 1)
+    # Fourier features: theta = B @ pts with B[k*3+c, c] = 2^k (exact
+    # power-of-two entries).
+    r_ids = _iota2((3 * L, 3), 0)
+    c_ids = _iota2((3 * L, 3), 1)
+    B = jnp.where(r_ids % 3 == c_ids, jnp.exp2((r_ids // 3).astype(f32)), 0.0)
+    theta = jnp.dot(B, pts, preferred_element_type=f32, precision=HI)  # (3L, P)
+    enc = jnp.concatenate([pts, jnp.sin(theta), jnp.cos(theta)], axis=0)  # (E, P)
 
-    # Expand per-ray origin/direction/norm in ONE selector matmul.
-    norm = jnp.sqrt(jnp.sum(d_ref[:] * d_ref[:], axis=1, keepdims=True))  # (TR,1)
-    odn = expand(jnp.concatenate([o_ref[:], d_ref[:], norm], axis=1))  # (P, 7)
-    pts = odn[:, 0:3] + odn[:, 3:6] * z_col  # (P, 3)
-
-    # Fourier features: theta = pts @ B with B[c, k*3+c] = 2^k (exact
-    # power-of-two entries; HIGHEST keeps pts at f32 fidelity).
-    r_ids = _iota2((3, 3 * L), 0)
-    c_ids = _iota2((3, 3 * L), 1)
-    B = jnp.where(r_ids == c_ids % 3, jnp.exp2((c_ids // 3).astype(f32)), 0.0)
-    theta = jnp.dot(pts, B, preferred_element_type=f32, precision=HI)
-    enc = jnp.concatenate([pts, jnp.sin(theta), jnp.cos(theta)], axis=1)  # (P, E)
-
-    def dense(h, w_ref, b_ref):
+    def dense(h, w_ref, b_ref):  # W^T (out,in) @ h (in,P) + b (out,1)
         return (
             jnp.dot(
-                h.astype(compute_dtype),
                 w_ref[:].astype(compute_dtype),
+                h.astype(compute_dtype),
                 preferred_element_type=f32,
             )
             + b_ref[:]
@@ -129,40 +135,50 @@ def _fused_kernel(
     for i in range(n_layers):
         h = jnp.maximum(dense(h, wb_refs[2 * i], wb_refs[2 * i + 1]), 0.0)
         if i == skip_at - 1:
-            h = jnp.concatenate([h, enc], axis=1)
-    head4 = dense(h, wb_refs[2 * n_layers], wb_refs[2 * n_layers + 1])  # (P, 4)
-    rgb = jax.nn.sigmoid(head4[:, 0:3])
-    sigma = jnp.maximum(head4[:, 3:4], 0.0)
+            h = jnp.concatenate([h, enc], axis=0)
+    head4 = dense(h, wb_refs[2 * n_layers], wb_refs[2 * n_layers + 1])  # (4, P)
+    rgb = jax.nn.sigmoid(head4[0:3])
+    sigma = jnp.maximum(head4[3:4], 0.0)  # (1, P)
 
     # Deltas: uniform spacing except the 1e10 terminal, scaled by ||d||
     # (ref src/volume.py:18-23).
     base = (far - near) / (S - 1)
-    delta = jnp.where(s_col == S - 1, DELTA_INF, base) * odn[:, 6:7]
+    delta = jnp.where(s_row == S - 1, DELTA_INF, base) * odn[6:7]
 
-    # one_minus_alpha = exp(-sigma*delta) (+eps matches the reference's
-    # cumprod(1 - alpha + 1e-10) exactly).
-    one_m = jnp.exp(-sigma * delta) + TRANS_EPS  # (P, 1)
+    # one_minus_alpha = exp(-sigma*delta); +eps matches the reference's
+    # cumprod(1 - alpha + 1e-10) exactly.
+    one_m = jnp.exp(-sigma * delta) + TRANS_EPS  # (1, P)
     alpha = 1.0 - (one_m - TRANS_EPS)
 
-    # Segmented exclusive prefix product along the flat point axis
-    # (rays are aligned length-S segments): Hillis-Steele scan with
-    # sublane rolls — log2(S) rounds of exact f32 VPU work, no
-    # sequential per-sample loop, no layout conversion.
+    # Segmented exclusive prefix product over each ray's samples
+    # (stride TR apart in sample-major order): Hillis-Steele with lane
+    # rolls of d*TR, log2(S) rounds, exact f32. Wrapped lanes have
+    # s_row < d and are masked to the identity.
     x = one_m
     d = 1
     while d < S:
-        rolled = pltpu.roll(x, shift=d, axis=0)
-        x = x * jnp.where(s_col >= d, rolled, 1.0)
+        x = x * jnp.where(s_row >= d, pltpu.roll(x, shift=d * TR, axis=1), 1.0)
         d *= 2
-    trans = jnp.where(s_col >= 1, pltpu.roll(x, shift=1, axis=0), 1.0)
+    trans = jnp.where(s_row >= 1, pltpu.roll(x, shift=TR, axis=1), 1.0)
 
-    w = alpha * trans
-    A = jnp.concatenate([rgb * w, w], axis=1)  # (P, 4)
-    out_ref[:] = jnp.dot(G, A, preferred_element_type=f32, precision=HI)  # (TR, 4)
+    w = alpha * trans  # (1, P)
+    A = jnp.concatenate([rgb * w, w], axis=0)  # (4, P)
+    # Per-ray reduce over samples = sum of the S lane-blocks of width
+    # TR: lane-halving adder tree when S is a power of two (block
+    # boundaries stay 128-aligned), else a static block-sum loop.
+    n = P
+    s_blocks = S
+    while s_blocks > 1 and s_blocks % 2 == 0:
+        n //= 2
+        A = A[:, :n] + A[:, n:]
+        s_blocks //= 2
+    if s_blocks > 1:
+        A = sum(A[:, k * TR : (k + 1) * TR] for k in range(s_blocks))
+    out_ref[:] = A  # (4, TR)
 
 
 def _prepare_weights(params, num_freqs: int, skip_at: int):
-    """Permute/stack model weights into the kernel's feature layout."""
+    """Permute + transpose model weights into the kernel layout."""
     perm = _encode_permutation(num_freqs)
     layers = params["layers"]
     wbs = []
@@ -175,16 +191,16 @@ def _prepare_weights(params, num_freqs: int, skip_at: int):
             w = jnp.concatenate(
                 [w[:hidden], jnp.take(w[hidden:], perm, axis=0)], axis=0
             )
-        wbs.append(w)
-        wbs.append(layer["b"].astype(jnp.float32).reshape(1, -1))
-    # Combined head: cols 0-2 rgb logits, col 3 sigma pre-activation.
+        wbs.append(w.T)  # (out, in)
+        wbs.append(layer["b"].astype(jnp.float32).reshape(-1, 1))
+    # Combined head: rows 0-2 rgb logits, row 3 sigma pre-activation.
     wh = jnp.concatenate(
         [params["rgb"]["w"].astype(jnp.float32), params["sigma"]["w"].astype(jnp.float32)],
         axis=1,
-    )
+    ).T  # (4, hidden)
     bh = jnp.concatenate(
         [params["rgb"]["b"].astype(jnp.float32), params["sigma"]["b"].astype(jnp.float32)]
-    ).reshape(1, 4)
+    ).reshape(4, 1)
     wbs.extend([wh, bh])
     return wbs
 
@@ -214,14 +230,14 @@ def fused_render_rays(
     S = n_samples
     n_tiles = -(-R // tile_r)
     pad = n_tiles * tile_r - R
-    rays_o = jnp.pad(rays_o.astype(jnp.float32), ((0, pad), (0, 0)))
-    rays_d = jnp.concatenate(
+    o_t = jnp.pad(rays_o.astype(jnp.float32), ((0, pad), (0, 0))).T  # (3, R')
+    d_t = jnp.concatenate(
         [
             rays_d.astype(jnp.float32),
             jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (pad, 3)),
         ],
         axis=0,
-    )
+    ).T  # (3, R')
 
     wbs = _prepare_weights(params, num_freqs, model_cfg.skip_at)
 
@@ -236,21 +252,19 @@ def fused_render_rays(
         compute_dtype=model_cfg.compute_dtype,
     )
 
-    def tile_spec(width):
+    def tile_spec(rows):
         return pl.BlockSpec(
-            (tile_r, width), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (rows, tile_r), lambda i: (0, i), memory_space=pltpu.VMEM
         )
 
     full_spec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
 
-    # Cost estimate: MLP matmul flops dominate; selector matmuls add
-    # ~15% (declared so the scheduler can overlap grid steps).
     pts_per_tile = tile_r * S
     mac = sum(int(np.prod(w.shape)) for w in wbs[::2])
     cost = pl.CostEstimate(
         flops=int(2 * pts_per_tile * mac * 1.15) * n_tiles,
         bytes_accessed=(R + pad) * (6 + 4) * 4 + 2 * mac * 4,
-        transcendentals=pts_per_tile * (6 * num_freqs + S + 4) * n_tiles,
+        transcendentals=pts_per_tile * (6 * num_freqs + 6) * n_tiles,
     )
 
     out = pl.pallas_call(
@@ -258,11 +272,12 @@ def fused_render_rays(
         grid=(n_tiles,),
         in_specs=[tile_spec(3), tile_spec(3)] + [full_spec() for _ in wbs],
         out_specs=tile_spec(4),
-        out_shape=jax.ShapeDtypeStruct((R + pad, 4), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((4, R + pad), jnp.float32),
         cost_estimate=cost,
         interpret=interpret,
-    )(rays_o, rays_d, *wbs)
+    )(o_t, d_t, *wbs)
 
+    out = out.T  # (R', 4)
     comp = out[:R, :3]
     if white_bkgd:
         comp = comp + (1.0 - out[:R, 3:4])

@@ -23,4 +23,6 @@ def spiral_poses(c2w_ref: jax.Array, n_frames: int = 60, radius: float = 0.3) ->
         [radius * jnp.cos(t), radius * jnp.sin(t), jnp.zeros_like(t)], axis=-1
     )  # (n_frames, 3)
     T = T.at[:, :3, 3].set(offsets)
-    return jnp.einsum("ij,njk->nik", c2w_ref, T)
+    return jnp.einsum(
+        "ij,njk->nik", c2w_ref, T, precision=jax.lax.Precision.HIGHEST
+    )

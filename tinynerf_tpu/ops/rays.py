@@ -46,7 +46,10 @@ def get_rays(H: int, W: int, focal, c2w: jax.Array):
 
     R = c2w[:3, :3]
     t = c2w[:3, 3]
-    rays_d = dirs @ R.T  # rotate camera-frame dirs into world frame
+    # HIGHEST: TPU f32 matmuls default to one bf16 pass; ray directions
+    # feed sin(2^(L-1) * x) encodings, so bf16 truncation here would
+    # corrupt the high-frequency features.
+    rays_d = jnp.matmul(dirs, R.T, precision=jax.lax.Precision.HIGHEST)
     rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
     rays_o = jnp.broadcast_to(t, rays_d.shape)
     return rays_o, rays_d
