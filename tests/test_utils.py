@@ -1,0 +1,140 @@
+"""Tests for utils: CLI, checkpointing, metrics, profiling, data."""
+
+import dataclasses
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tinynerf_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+from tinynerf_tpu.utils.cli import cli
+from tinynerf_tpu.utils.metrics import mse2psnr, psnr
+from tinynerf_tpu.utils.profiling import StepTimer, Timer
+
+
+@dataclasses.dataclass
+class _Cfg:
+    iters: int = 100
+    lr: float = 5e-4
+    name: str = "x"
+    resume: bool = True
+    preview_pose: Optional[int] = None
+
+
+class TestCli:
+    def test_defaults(self):
+        c = cli(_Cfg, args=[])
+        assert c == _Cfg()
+
+    def test_dash_mapping_and_types(self):
+        c = cli(_Cfg, args=["--iters", "7", "--lr", "1e-3", "--name", "abc"])
+        assert c.iters == 7 and abs(c.lr - 1e-3) < 1e-12 and c.name == "abc"
+
+    def test_bool_toggles(self):
+        assert cli(_Cfg, args=["--no-resume"]).resume is False
+        assert cli(_Cfg, args=["--resume"]).resume is True
+
+    def test_optional_int(self):
+        assert cli(_Cfg, args=["--preview-pose", "5"]).preview_pose == 5
+        assert cli(_Cfg, args=["--preview-pose", "None"]).preview_pose is None
+
+    def test_unknown_flag_exits(self):
+        with pytest.raises(SystemExit):
+            cli(_Cfg, args=["--bogus", "1"])
+
+
+class TestCheckpoint:
+    def _state(self, seed=0):
+        from tinynerf_tpu.training import TrainSettings, init_train_state
+        from tinynerf_tpu.models.tinynerf import TinyNeRFConfig
+        from tinynerf_tpu.ops.encoding import encoding_dim
+
+        s = TrainSettings(
+            model_cfg=TinyNeRFConfig(in_dim=encoding_dim(3), hidden=8), num_freqs=3
+        )
+        return init_train_state(jax.random.PRNGKey(seed), s)
+
+    def test_roundtrip(self, tmp_path):
+        params, opt = self._state()
+        path = str(tmp_path / "ckpt.npz")
+        save_checkpoint(path, params, opt, 123, meta={"cfg": {"hidden": 8}})
+        p_t, o_t = self._state(seed=9)  # different template values
+        p2, o2, step, meta = restore_checkpoint(path, p_t, o_t)
+        assert step == 123 and meta["cfg"]["hidden"] == 8
+        for a, b in zip(
+            jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(p2)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_structure_mismatch_raises(self, tmp_path):
+        params, opt = self._state()
+        path = str(tmp_path / "ckpt.npz")
+        save_checkpoint(path, params, opt, 1)
+        bad_template = {"different": jnp.zeros(3)}
+        with pytest.raises(ValueError):
+            restore_checkpoint(path, bad_template, opt)
+
+    def test_atomic_no_partial_file(self, tmp_path):
+        # The temp file is renamed only on success; directory stays clean.
+        params, opt = self._state()
+        path = str(tmp_path / "sub" / "ckpt.npz")
+        save_checkpoint(path, params, opt, 5)
+        files = os.listdir(os.path.dirname(path))
+        assert files == ["ckpt.npz"]
+
+
+class TestMetrics:
+    def test_mse2psnr_golden(self):
+        np.testing.assert_allclose(float(mse2psnr(jnp.float32(0.01))), 20.0, atol=1e-4)
+        np.testing.assert_allclose(float(mse2psnr(jnp.float32(1.0))), 0.0, atol=1e-5)
+        # clamp floor at 1e-10 -> 100 dB
+        np.testing.assert_allclose(float(mse2psnr(jnp.float32(0.0))), 100.0, atol=1e-4)
+
+    def test_psnr_identical_images(self):
+        img = jnp.ones((4, 4, 3)) * 0.5
+        assert float(psnr(img, img)) == 100.0
+
+
+class TestProfiling:
+    def test_timer_sections(self):
+        t = Timer()
+        with t.section("a"):
+            pass
+        with t.section("a", sync_on=jnp.ones(3)):
+            pass
+        s = t.summary()
+        assert s["a"]["count"] == 2 and s["a"]["total_s"] >= 0
+
+    def test_step_timer_stats(self):
+        st = StepTimer(window=10)
+        for i in range(20):
+            st.record(0.001 * (i + 1))
+        stats = st.stats()
+        assert stats["p50_ms"] > 0 and stats["p95_ms"] >= stats["p50_ms"]
+
+
+class TestEvaluation:
+    def test_evaluate_views_perfect_renderer(self):
+        from tinynerf_tpu.evaluation import evaluate_views
+
+        images = jnp.asarray(np.random.RandomState(0).rand(3, 4, 4, 3), jnp.float32)
+        poses = jnp.zeros((3, 4, 4))
+        renderer = lambda params, pose: images[1]
+        res = evaluate_views(renderer, None, images, poses, [1])
+        assert res["psnr_mean"] == 100.0  # exact match -> clamp ceiling
+
+
+class TestSynthetic:
+    def test_random_scenes_differ_and_cache_schema(self, tmp_path):
+        from tinynerf_tpu.synthetic import generate_synthetic_dataset
+
+        a = generate_synthetic_dataset(n_poses=2, h=16, w=16, seed=1)
+        b = generate_synthetic_dataset(n_poses=2, h=16, w=16, seed=2)
+        assert a["images"].shape == (2, 16, 16, 3)
+        assert a["poses"].shape == (2, 4, 4)
+        assert float(np.abs(a["images"] - b["images"]).max()) > 0.05  # distinct scenes
+        assert np.isfinite(a["images"]).all()
+        assert a["images"].min() >= 0 and a["images"].max() <= 1

@@ -58,9 +58,13 @@ class Config:
     allow_synthetic: bool = True  # fall back to the procedural scene offline
     bf16: bool = True  # bfloat16 matmuls (fp32 params/accum)
     fused: bool = False  # route rendering through the fused Pallas kernel
+    fused_train: bool = False  # fused Pallas fwd+bwd train kernel (TPU;
+    # ~4x faster steps; jitter via the in-kernel hardware PRNG)
     data_parallel: bool = False  # shard ray batches over all local devices
     profile_dir: Optional[str] = None  # jax.profiler trace output
     metrics_path: Optional[str] = None  # JSONL metrics log
+    holdout: int = 0  # trailing poses excluded from training, used for
+    # held-out novel-view PSNR evaluation at the end of the run
 
     def model_cfg(self) -> TinyNeRFConfig:
         return TinyNeRFConfig(

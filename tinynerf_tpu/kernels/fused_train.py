@@ -1,0 +1,415 @@
+"""Fused Pallas training kernel: forward + backward + MSE-loss gradient
+for the TinyNeRF pipeline in ONE kernel invocation per step.
+
+The XLA train step materializes every (n_rand*n_samples, 128)
+activation in HBM between the forward and backward passes (~tens of MB
+per step for a ~3ms step — bandwidth-bound). This kernel keeps the
+whole chain in VMEM: per ray-tile it runs encode -> MLP -> composite ->
+MSE residual, then backpropagates to PARAMETER gradients in-register,
+accumulating them across grid tiles into small (out, in) buffers.
+
+Key structural wins:
+- rays and jittered z-values are not differentiated (the reference
+  doesn't backprop into sampling either), so there is NO sin/cos
+  backward and no gradient w.r.t. points — only the parameter path;
+- activations are stored bf16 in VMEM for the backward matmuls
+  (weight-grad dots contract the huge P axis on the MXU);
+- the transmittance backward is a segmented SUFFIX sum (the transpose
+  of the forward prefix product): g_one_m[q] = sum_{p>q} g_trans[p] *
+  trans[p] / one_m[q], computed with the same Hillis-Steele lane-roll
+  scan run in reverse;
+- gradients accumulate across sequential grid steps into
+  constant-index output blocks (zero-initialized at tile 0).
+
+Layouts mirror kernels/fused_render.py: feature-major (features on
+sublanes, points on lanes), sample-major point order p = s*TILE_R + r;
+jittered z/delta arrays are packed by the wrapper into
+(n_tiles, S*TILE_R) rows so each tile reads one contiguous block.
+
+Gradient parity with jax.grad of the unfused loss is asserted in
+tests/test_fused_train.py (interpret mode).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tinynerf_tpu.kernels.fused_render import _encode_permutation, _iota2
+from tinynerf_tpu.models.tinynerf import TinyNeRFConfig
+from tinynerf_tpu.ops.volume import TRANS_EPS
+
+DEFAULT_TILE_R = 128
+
+
+def _fused_train_kernel(
+    seed_ref,  # (1, 1) int32 in SMEM: per-step PRNG seed
+    o_ref,  # (3, TR)
+    d_ref,  # (3, TR)
+    t_ref,  # (3, TR) target rgb (transposed)
+    *args,  # weight/bias refs, then output refs
+    S: int,
+    num_freqs: int,
+    n_layers: int,
+    skip_at: int,
+    white_bkgd: bool,
+    randomized: bool,
+    near: float,
+    far: float,
+    inv_n: float,  # 1 / (n_rand_total * 3): MSE normalization
+    compute_dtype,
+):
+    n_wb = 2 * (n_layers + 1)
+    wb = args[:n_wb]
+    outs = args[n_wb:]  # loss_ref, then (gw, gb) per layer, head last
+    loss_ref = outs[0]
+    g_refs = outs[1:]
+
+    TR = o_ref.shape[1]
+    P = TR * S
+    L = num_freqs
+    f32 = jnp.float32
+    HI = jax.lax.Precision.HIGHEST
+    first = pl.program_id(0) == 0
+
+    s_row = _iota2((1, P), 1) // TR  # sample slot (sample-major)
+
+    # Stratified depths, generated in-register. The jitter draws one
+    # uniform per (ray, sample) in the reference's bins
+    # (src/sampling.py:20-25: half-width first/last bins from midpoints)
+    # using the TPU hardware PRNG — no z/delta HBM inputs at all.
+    h_bin = (far - near) / (S - 1)
+    grid_z = near + h_bin * s_row.astype(f32)  # (1, P)
+    if randomized:
+        pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+        # Mosaic can't cast uint32->f32; keep 24 bits in a non-negative
+        # int32 instead (same [0, 1) uniform).
+        bits = pltpu.bitcast(pltpu.prng_random_bits((1, P)), jnp.int32)
+        u = (bits & 0xFFFFFF).astype(f32) * (1.0 / (1 << 24))  # [0, 1)
+        lower = jnp.where(s_row == 0, grid_z, grid_z - 0.5 * h_bin)
+        upper = jnp.where(s_row == S - 1, grid_z, grid_z + 0.5 * h_bin)
+        z_row = lower + (upper - lower) * u
+    else:
+        z_row = grid_z
+
+    # Deltas: z_{s+1} - z_s within each ray (neighbor sample is TR
+    # lanes away in sample-major order), 1e10 terminal, ||d||-scaled.
+    norm = jnp.sqrt(jnp.sum(d_ref[:] * d_ref[:], axis=0, keepdims=True))  # (1, TR)
+    norm_rep = pltpu.repeat(norm, S, axis=1)  # (1, P)
+    z_next = pltpu.roll(z_row, shift=P - TR, axis=1)
+    from tinynerf_tpu.ops.volume import DELTA_INF
+
+    delta = jnp.where(s_row == S - 1, DELTA_INF, z_next - z_row) * norm_rep
+
+    # ---------------- forward ----------------
+    od = pltpu.repeat(jnp.concatenate([o_ref[:], d_ref[:]], axis=0), S, axis=1)
+    pts = od[0:3] + od[3:6] * z_row  # (3, P)
+
+    r_ids = _iota2((3 * L, 3), 0)
+    c_ids = _iota2((3 * L, 3), 1)
+    B = jnp.where(r_ids % 3 == c_ids, jnp.exp2((r_ids // 3).astype(f32)), 0.0)
+    theta = jnp.dot(B, pts, preferred_element_type=f32, precision=HI)
+    enc = jnp.concatenate([pts, jnp.sin(theta), jnp.cos(theta)], axis=0)  # (E, P)
+    enc_c = enc.astype(compute_dtype)
+
+    def dense(h_c, i):
+        return (
+            jnp.dot(
+                wb[2 * i][:].astype(compute_dtype), h_c,
+                preferred_element_type=f32,
+            )
+            + wb[2 * i + 1][:]
+        )
+
+    # VMEM discipline: store only the slim post-activations (<= hidden
+    # rows each, compute_dtype); the skip layer's (hidden+E)-row concat
+    # input is rebuilt transiently wherever needed instead of living
+    # across the whole backward pass.
+    acts = [enc_c]  # acts[i] = post-activation output of layer i-1
+    for i in range(n_layers):
+        h_in = acts[i] if i != skip_at else jnp.concatenate(
+            [acts[i], enc_c], axis=0
+        )
+        acts.append(jnp.maximum(dense(h_in, i), 0.0).astype(compute_dtype))
+    head_in = (
+        acts[n_layers]
+        if n_layers != skip_at
+        else jnp.concatenate([acts[n_layers], enc_c], axis=0)
+    )
+    head = dense(head_in, n_layers)  # (4, P)
+    rgb = jax.nn.sigmoid(head[0:3])
+    sigma = jnp.maximum(head[3:4], 0.0)
+
+    one_m = jnp.exp(-sigma * delta) + TRANS_EPS  # (1, P)
+    alpha = 1.0 - (one_m - TRANS_EPS)
+
+    x = one_m
+    dd = 1
+    while dd < S:
+        x = x * jnp.where(s_row >= dd, pltpu.roll(x, shift=dd * TR, axis=1), 1.0)
+        dd *= 2
+    trans = jnp.where(s_row >= 1, pltpu.roll(x, shift=TR, axis=1), 1.0)
+
+    w = alpha * trans  # (1, P)
+    A = jnp.concatenate([rgb * w, w], axis=0)  # (4, P)
+    n = P
+    blocks = S
+    while blocks > 1 and blocks % 2 == 0:
+        n //= 2
+        A = A[:, :n] + A[:, n:]
+        blocks //= 2
+    if blocks > 1:
+        A = sum(A[:, k * TR : (k + 1) * TR] for k in range(blocks))
+    comp = A[0:3]
+    acc = A[3:4]
+    if white_bkgd:
+        comp = comp + (1.0 - acc)
+    resid = comp - t_ref[:]  # (3, TR)
+
+    @pl.when(first)
+    def _():
+        loss_ref[0, 0] = 0.0
+
+    loss_ref[0, 0] = loss_ref[0, 0] + jnp.sum(resid * resid) * inv_n
+
+    # ---------------- backward ----------------
+    g_comp = (2.0 * inv_n) * resid  # (3, TR)
+    g3 = pltpu.repeat(g_comp, S, axis=1)  # (3, P)
+    g_rgb = g3 * w
+    g_w = jnp.sum(g3 * rgb, axis=0, keepdims=True)  # (1, P)
+    if white_bkgd:
+        g_acc = -jnp.sum(g_comp, axis=0, keepdims=True)  # (1, TR)
+        g_w = g_w + pltpu.repeat(g_acc, S, axis=1)
+
+    g_alpha = g_w * trans
+    g_trans = g_w * alpha
+    # Segmented suffix sum of T = g_trans * trans (exclusive from above).
+    # pltpu.roll requires non-negative shifts: roll by -k == roll by P-k.
+    T = g_trans * trans
+    y = T
+    dd = 1
+    while dd < S:
+        y = y + jnp.where(
+            s_row <= S - 1 - dd, pltpu.roll(y, shift=P - dd * TR, axis=1), 0.0
+        )
+        dd *= 2
+    suf = jnp.where(s_row <= S - 2, pltpu.roll(y, shift=P - TR, axis=1), 0.0)
+    g_one_m = suf / one_m - g_alpha
+    g_sigma = g_one_m * (-(delta) * (one_m - TRANS_EPS))
+
+    g_head = jnp.concatenate(
+        [g_rgb * rgb * (1.0 - rgb), g_sigma * (sigma > 0)], axis=0
+    )  # (4, P)
+
+    def accum(ref, val):
+        @pl.when(first)
+        def _():
+            ref[:] = jnp.zeros_like(ref)
+
+        ref[:] += val
+
+    hidden = wb[2 * (n_layers - 1)][:].shape[0] if n_layers else 0
+
+    def dense_in(i):
+        """Rebuild layer i's dense input (transient concat at the skip)."""
+        return acts[i] if i != skip_at else jnp.concatenate(
+            [acts[i], enc_c], axis=0
+        )
+
+    def dense_bwd(g_c, i):
+        """Accumulate gw/gb for layer i; return upstream gradient in
+        compute dtype (the bf16 grad chain matches bf16-matmul training
+        precision and halves transient VMEM).
+
+        The skip layer's concat'd encoding gradient is never
+        materialized: the upstream dot uses the weight sliced to its
+        first `hidden` input rows (the encoding has no parameters).
+        """
+        gw = jax.lax.dot_general(
+            g_c, dense_in(i), dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        )  # (out, in)
+        accum(g_refs[2 * i], gw)
+        accum(
+            g_refs[2 * i + 1],
+            jnp.sum(g_c.astype(f32), axis=1, keepdims=True),
+        )
+        w = wb[2 * i][:]
+        w_up = w if i != skip_at else w[:, :hidden]
+        return jax.lax.dot_general(
+            w_up.astype(compute_dtype), g_c,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        ).astype(compute_dtype)
+
+    g = dense_bwd(g_head.astype(compute_dtype), n_layers)
+    for i in reversed(range(n_layers)):
+        # relu mask from the stored post-activation of layer i
+        # (cast to f32: Mosaic lacks bf16 vector comparisons)
+        g = g * (acts[i + 1].astype(f32) > 0).astype(compute_dtype)
+        g = dense_bwd(g, i)
+    # g is d/d enc — unused (encoding has no parameters).
+
+
+def fused_loss_grads(
+    params,
+    rays_o: jax.Array,
+    rays_d: jax.Array,
+    target: jax.Array,
+    seed,
+    *,
+    n_samples: int = 64,
+    near: float = 2.0,
+    far: float = 6.0,
+    randomized: bool = True,
+    num_freqs: int = 10,
+    white_bkgd: bool = True,
+    model_cfg: TinyNeRFConfig = TinyNeRFConfig(),
+    tile_r: int = DEFAULT_TILE_R,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, dict]:
+    """One fused kernel -> (mse_loss, grads-in-model-layout).
+
+    Semantics match jax.grad of the unfused training loss
+    (training.loss_fn): MSE over (R, 3) of the white-background
+    composite vs target, with stratified-jittered depths. The jitter is
+    drawn by the TPU hardware PRNG from `seed` (an int32 scalar) — the
+    same bins as the reference (src/sampling.py:20-25), a different
+    stream than jax.random. rays/z are constants w.r.t. the gradient
+    (as in the reference). With randomized=False the depths are the
+    deterministic linspace and results match jax.grad exactly.
+    """
+    from tinynerf_tpu.kernels.fused_render import _prepare_weights
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    R = rays_o.shape[0]
+    S = n_samples
+    if R % tile_r:
+        raise ValueError(f"n_rand={R} must be a multiple of tile_r={tile_r}")
+    n_tiles = R // tile_r
+
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+    o_t = rays_o.astype(jnp.float32).T
+    d_t = rays_d.astype(jnp.float32).T
+    t_t = target.astype(jnp.float32).T
+
+    wbs = _prepare_weights(params, num_freqs, model_cfg.skip_at)
+    n_layers = model_cfg.depth
+
+    kernel = functools.partial(
+        _fused_train_kernel,
+        S=S,
+        num_freqs=num_freqs,
+        n_layers=n_layers,
+        skip_at=model_cfg.skip_at,
+        white_bkgd=white_bkgd,
+        randomized=randomized,
+        near=float(near),
+        far=float(far),
+        inv_n=1.0 / (R * 3),
+        compute_dtype=model_cfg.compute_dtype,
+    )
+
+    ray_spec = lambda rows: pl.BlockSpec(
+        (rows, tile_r), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    seed_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    out_shapes = [jax.ShapeDtypeStruct((1, 1), jnp.float32)]  # loss
+    out_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    for wset in wbs:
+        out_shapes.append(jax.ShapeDtypeStruct(wset.shape, jnp.float32))
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+
+    pts = R * S
+    mac = sum(int(np.prod(w.shape)) for w in wbs[::2])
+    cost = pl.CostEstimate(
+        flops=2 * 3 * pts * mac,  # fwd + 2x bwd
+        bytes_accessed=R * 9 * 4 + 2 * mac * 4,
+        transcendentals=pts * (6 * num_freqs + 6),
+    )
+
+    outs = pl.pallas_call(
+        lambda sd, o, d, t, *rest: kernel(sd, o, d, t, *rest),
+        grid=(n_tiles,),
+        in_specs=[seed_spec, ray_spec(3), ray_spec(3), ray_spec(3)]
+        + [full() for _ in wbs],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        cost_estimate=cost,
+        # fwd+bwd activations for an 8192-point tile exceed the 16MB
+        # default scoped-vmem budget; v5e has 128MiB physical VMEM.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(seed_arr, o_t, d_t, t_t, *wbs)
+
+    loss = outs[0][0, 0]
+    g_kernel = outs[1:]
+
+    # Map kernel-layout grads back to the model pytree.
+    perm = _encode_permutation(num_freqs)
+    inv = np.argsort(perm)
+    hidden = model_cfg.hidden
+    layers = []
+    for i in range(n_layers):
+        gw = g_kernel[2 * i].T  # (in, out) model orientation
+        if i == 0:
+            gw = jnp.take(gw, inv, axis=0)
+        elif i == model_cfg.skip_at:
+            gw = jnp.concatenate(
+                [gw[:hidden], jnp.take(gw[hidden:], inv, axis=0)], axis=0
+            )
+        layers.append({"w": gw, "b": g_kernel[2 * i + 1][:, 0]})
+    gwh = g_kernel[2 * n_layers].T  # (hidden, 4)
+    gbh = g_kernel[2 * n_layers + 1][:, 0]  # (4,)
+    grads = {
+        "layers": layers,
+        "rgb": {"w": gwh[:, 0:3], "b": gbh[0:3]},
+        "sigma": {"w": gwh[:, 3:4], "b": gbh[3:4]},
+    }
+    return loss, grads
+
+
+def make_fused_grad_fn(
+    s,
+    tile_r: int = DEFAULT_TILE_R,
+    randomized: bool = True,
+    interpret: Optional[bool] = None,
+):
+    """(params, ro, rd, target, key) -> (grads, metrics) via the fused
+    kernel — drop-in for jax.grad of training.loss_fn. The jax key is
+    distilled to an int32 seed for the in-kernel TPU PRNG (same
+    stratified bins as the reference; different stream than
+    jax.random — documented behavioral delta of the fused train path).
+    """
+    from tinynerf_tpu.utils.metrics import mse2psnr
+
+    def grad_fn(params, ro, rd, target, key):
+        seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+        loss, grads = fused_loss_grads(
+            params,
+            ro,
+            rd,
+            target,
+            seed,
+            n_samples=s.n_samples,
+            near=s.near,
+            far=s.far,
+            randomized=randomized,
+            num_freqs=s.num_freqs,
+            white_bkgd=s.white_bkgd,
+            model_cfg=s.model_cfg,
+            tile_r=tile_r,
+            interpret=interpret,
+        )
+        return grads, {"loss": loss, "psnr": mse2psnr(loss)}
+
+    return grad_fn

@@ -74,6 +74,10 @@ def chunked_over_rays(ray_fn, H: int, W: int, focal, pose: jax.Array, chunk: int
     tiny_nerf_min.py:1424-1428, preserved here by construction)."""
     rays_o, rays_d = get_rays(H, W, focal, pose)
     hw = H * W
+    # Shrink the chunk to the 128-aligned cover of H*W when the image
+    # is smaller than the requested chunk budget — e.g. a 100x100 image
+    # renders as one 10112-ray chunk instead of 2 x 8192 (38% padding).
+    chunk = min(chunk, -(-hw // 128) * 128)
     n_chunks = -(-hw // chunk)
     pad = n_chunks * chunk - hw
     rays_o = jnp.pad(rays_o, ((0, pad), (0, 0)))

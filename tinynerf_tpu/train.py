@@ -88,12 +88,33 @@ def main(cfg: Config) -> dict:
     rays_o_all, rays_d_all = get_rays_for_poses(H, W, focal, poses)
     pixels = images.reshape(n_images, H * W, 3)
 
+    # Hold out trailing poses for novel-view evaluation (never trained).
+    n_train = n_images - cfg.holdout
+    if cfg.holdout > 0:
+        rays_o_all = rays_o_all[:n_train]
+        rays_d_all = rays_d_all[:n_train]
+        pixels = pixels[:n_train]
+        print(f"[eval] holding out poses {n_train}..{n_images - 1}")
+
+    grad_fn = None
+    if cfg.fused_train:
+        if cfg.model != "tinynerf":
+            raise ValueError("--fused-train supports the tinynerf model only")
+        from tinynerf_tpu.kernels.fused_train import make_fused_grad_fn
+
+        grad_fn = make_fused_grad_fn(settings)
+        print("[train] fused Pallas fwd+bwd kernel enabled")
+
     if cfg.data_parallel and jax.device_count() > 1:
         from tinynerf_tpu.parallel.train import make_sharded_train_block
 
+        if grad_fn is not None:
+            raise ValueError("--fused-train is single-device (round 1)")
         train_block_factory = lambda n: make_sharded_train_block(settings, n, loss=loss)
     else:
-        train_block_factory = lambda n: make_train_block(settings, n, loss=loss)
+        train_block_factory = lambda n: make_train_block(
+            settings, n, loss=loss, grad_fn=grad_fn
+        )
 
     if cfg.model == "nerf":
         from tinynerf_tpu.render import make_hierarchical_image_renderer
@@ -203,6 +224,27 @@ def main(cfg: Config) -> dict:
     save_ckpt(cfg.iters)
     img = renderer(params, poses[-1])
     write_png(f"{cfg.out_dir}/final.png", np.asarray(img))
+
+    # Novel-view PSNR: held-out poses when available, else a spread of
+    # training views (the reference reports only train-batch PSNR).
+    from tinynerf_tpu.evaluation import evaluate_views
+
+    if cfg.holdout > 0:
+        eval_idx = list(range(n_train, n_images))
+        eval_kind = "held-out"
+    else:
+        eval_idx = list(range(0, n_images, max(1, n_images // 8)))[:8]
+        eval_kind = "train-view"
+    eval_res = evaluate_views(renderer, params, images, poses, eval_idx)
+    print(
+        f"[eval] {eval_kind} PSNR over {len(eval_idx)} views: "
+        f"mean {eval_res['psnr_mean']:.2f} dB "
+        f"(min {eval_res['psnr_min']:.2f}, max {eval_res['psnr_max']:.2f})"
+    )
+    if cfg.metrics_path:
+        with open(cfg.metrics_path, "a") as f:
+            f.write(json.dumps({"eval": eval_res, "kind": eval_kind}) + "\n")
+
     trained_steps = cfg.iters - start_step
     rays_per_sec = (trained_steps * cfg.n_rand / dt) if dt > 0 and trained_steps else 0.0
     print(
@@ -210,7 +252,12 @@ def main(cfg: Config) -> dict:
         f"(train loop {dt:.1f}s, {rays_per_sec:,.0f} rays/s) | "
         f"saved {cfg.ckpt_path} and {cfg.out_dir}/final.png"
     )
-    return {"final_psnr": last.get("psnr"), "rays_per_sec": rays_per_sec, "params": params}
+    return {
+        "final_psnr": last.get("psnr"),
+        "eval": eval_res,
+        "rays_per_sec": rays_per_sec,
+        "params": params,
+    }
 
 
 if __name__ == "__main__":

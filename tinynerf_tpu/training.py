@@ -75,9 +75,14 @@ def loss_fn(
 
 
 def _step_body(
-    params, opt_state, key, step, rays_o_all, rays_d_all, pixels, s, opt, loss
+    params, opt_state, key, step, rays_o_all, rays_d_all, pixels, s, opt, loss,
+    grad_fn=None,
 ):
-    """One train step; step is a traced int32 scalar."""
+    """One train step; step is a traced int32 scalar.
+
+    grad_fn (params, ro, rd, target, key) -> (grads, metrics) replaces
+    jax.grad of `loss` when given (e.g. the fused Pallas train kernel).
+    """
     n_images, hw = rays_o_all.shape[0], rays_o_all.shape[1]
     img_i = jnp.mod(step, n_images)
     k_step = jax.random.fold_in(key, step)
@@ -87,9 +92,12 @@ def _step_body(
     rd = rays_d_all[img_i][inds]
     target = pixels[img_i][inds]
 
-    grads, metrics = jax.grad(
-        lambda p: loss(p, ro, rd, target, k_jitter, s), has_aux=True
-    )(params)
+    if grad_fn is not None:
+        grads, metrics = grad_fn(params, ro, rd, target, k_jitter)
+    else:
+        grads, metrics = jax.grad(
+            lambda p: loss(p, ro, rd, target, k_jitter, s), has_aux=True
+        )(params)
     updates, opt_state = opt.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
     return params, opt_state, metrics
@@ -117,11 +125,13 @@ def make_train_step(s: TrainSettings, loss=None):
     return train_step
 
 
-def make_train_block(s: TrainSettings, block_size: int, loss=None):
+def make_train_block(s: TrainSettings, block_size: int, loss=None, grad_fn=None):
     """Jitted `lax.scan` over `block_size` consecutive steps.
 
     Returns fn(params, opt_state, key, step0, rays_o_all, rays_d_all,
     pixels) -> (params, opt_state, metrics-with-leading-block-axis).
+    Pass grad_fn (see _step_body) to route gradients through the fused
+    Pallas train kernel.
     """
     opt = make_optimizer(s.lr)
     loss = loss or loss_fn
@@ -132,7 +142,7 @@ def make_train_block(s: TrainSettings, block_size: int, loss=None):
             params, opt_state = carry
             params, opt_state, metrics = _step_body(
                 params, opt_state, key, step0 + i, rays_o_all, rays_d_all, pixels,
-                s, opt, loss,
+                s, opt, loss, grad_fn,
             )
             return (params, opt_state), metrics
 
