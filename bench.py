@@ -72,6 +72,9 @@ def _torch_cpu_baseline() -> float:
 
 
 def main() -> None:
+    from tinynerf_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from tinynerf_tpu.config import Config
     from tinynerf_tpu.data import ensure_data
     from tinynerf_tpu.ops.rays import get_rays_for_poses

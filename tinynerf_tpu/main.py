@@ -25,6 +25,9 @@ from tinynerf_tpu.utils.image_io import write_png
 
 
 def main(cfg: Config = Config()) -> None:
+    from tinynerf_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     print(f"[device] {jax.devices()} jax={jax.__version__}")
     d = ensure_data(cfg.data_path, allow_synthetic=cfg.allow_synthetic)
     images = np.asarray(d["images"])

@@ -48,6 +48,9 @@ class GifConfig:
 
 
 def main(cfg: GifConfig = GifConfig()) -> None:
+    from tinynerf_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     d = ensure_data(cfg.data_path, allow_synthetic=cfg.allow_synthetic)
     poses = jnp.asarray(d["poses"])
     focal = float(d["focal"])

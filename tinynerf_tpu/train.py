@@ -45,6 +45,9 @@ def _boundaries(start: int, end: int, *cadences: int):
 
 
 def main(cfg: Config) -> dict:
+    from tinynerf_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     t_start = time.time()
     os.makedirs(cfg.out_dir, exist_ok=True)
     print(f"[device] {jax.devices()} jax={jax.__version__}")

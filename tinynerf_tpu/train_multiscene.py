@@ -71,6 +71,9 @@ def _load_or_make_scene(cfg: MultiSceneConfig, k: int):
 
 
 def main(cfg: MultiSceneConfig) -> dict:
+    from tinynerf_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     mesh = make_mesh(n_devices=cfg.n_devices)
     n_data, _ = mesh_axes(mesh)
     print(f"[mesh] {dict(mesh.shape)} devices={jax.devices()[:n_data]}")
