@@ -1,0 +1,104 @@
+"""End-to-end driver tests on CPU: train.main with a tiny dataset.
+
+Exercises the full surface in-process: data load, train blocks,
+preview/ckpt cadence, resume, final render, holdout eval — the
+regression net for the CLI drivers without needing a TPU.
+"""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from tinynerf_tpu.config import Config
+from tinynerf_tpu.synthetic import generate_synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def tiny_npz(tmp_path_factory):
+    """A 6-pose 24x24 synthetic dataset on disk (npz schema)."""
+    d = generate_synthetic_dataset(n_poses=6, h=24, w=24, seed=5)
+    path = str(tmp_path_factory.mktemp("data") / "tiny.npz")
+    np.savez(path, images=d["images"], poses=d["poses"], focal=d["focal"])
+    return path
+
+
+def _cfg(tiny_npz, tmp_path, **kw):
+    defaults = dict(
+        data_path=tiny_npz,
+        iters=40,
+        n_rand=64,
+        n_samples=8,
+        num_freqs=4,
+        hidden=16,
+        log_every=10,
+        preview_every=20,
+        ckpt_every=20,
+        chunk=128,
+        ckpt_path=str(tmp_path / "ckpt.npz"),
+        out_dir=str(tmp_path / "out"),
+        resume=True,
+        bf16=False,
+    )
+    defaults.update(kw)
+    return Config(**defaults)
+
+
+def test_train_main_end_to_end(tiny_npz, tmp_path):
+    from tinynerf_tpu import train
+
+    cfg = _cfg(tiny_npz, tmp_path, holdout=2)
+    res = train.main(cfg)
+    assert np.isfinite(res["final_psnr"])
+    assert res["eval"]["psnr_mean"] > 5  # held-out eval ran
+    assert os.path.exists(cfg.ckpt_path)
+    assert os.path.exists(f"{cfg.out_dir}/final.png")
+    assert os.path.exists(f"{cfg.out_dir}/preview_000020.png")
+
+    # Resume: start_step == iters -> no-op loop, still finishes cleanly.
+    res2 = train.main(cfg)
+    assert os.path.exists(f"{cfg.out_dir}/final.png")
+
+
+def test_train_main_nerf_model(tiny_npz, tmp_path):
+    from tinynerf_tpu import train
+
+    cfg = _cfg(
+        tiny_npz,
+        tmp_path,
+        model="nerf",
+        n_fine=8,
+        nerf_depth=2,
+        nerf_skip_at=1,
+        rgb_hidden=8,
+        iters=20,
+        preview_every=20,
+        ckpt_every=20,
+    )
+    res = train.main(cfg)
+    assert np.isfinite(res["final_psnr"])
+
+
+def test_make_gif_from_checkpoint(tiny_npz, tmp_path):
+    from tinynerf_tpu import make_gif, train
+
+    cfg = _cfg(tiny_npz, tmp_path, iters=20, preview_every=20, ckpt_every=20)
+    train.main(cfg)
+    gcfg = make_gif.GifConfig(
+        ckpt_path=cfg.ckpt_path,
+        data_path=tiny_npz,
+        out_path=str(tmp_path / "views.gif"),
+        n_frames=3,
+        n_samples=8,
+        chunk=128,
+    )
+    make_gif.main(gcfg)
+    assert os.path.exists(gcfg.out_path)
+
+
+def test_unknown_model_rejected(tiny_npz, tmp_path):
+    from tinynerf_tpu import train
+
+    with pytest.raises(ValueError):
+        train.main(_cfg(tiny_npz, tmp_path, model="bogus"))
