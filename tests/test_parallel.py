@@ -95,6 +95,35 @@ def test_sp_gradients_match_unsharded():
     )
 
 
+def test_dp_with_fused_grad_fn():
+    """DP shard_map + the fused Pallas train kernel (interpret mode,
+    deterministic depths) learns; per-device local batch 128/8 = 16...
+    use n_rand=256 so each device's 32 rays tile at tile_r=32."""
+    from tinynerf_tpu.kernels.fused_train import make_fused_grad_fn
+
+    s = TrainSettings(
+        n_rand=256,
+        n_samples=16,
+        num_freqs=4,
+        lr=5e-4,
+        model_cfg=TinyNeRFConfig(
+            in_dim=encoding_dim(4), hidden=32, compute_dtype=jnp.float32
+        ),
+    )
+    grad_fn = make_fused_grad_fn(s, tile_r=32, randomized=False, interpret=True)
+    data = _tiny_dataset()
+    mesh = make_mesh()
+    block = make_sharded_train_block(s, 20, mesh, grad_fn=grad_fn)
+    params, opt_state = init_train_state(jax.random.PRNGKey(0), s)
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for b in range(3):
+        params, opt_state, m = block(params, opt_state, key, jnp.int32(b * 20), *data)
+        losses.append(float(m["loss"].mean()))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+
+
 def test_sharded_render_matches_single_device():
     mesh = make_mesh()
     cfg = TinyNeRFConfig(in_dim=encoding_dim(4), hidden=32, compute_dtype=jnp.float32)

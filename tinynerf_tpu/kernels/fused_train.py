@@ -291,6 +291,10 @@ def fused_loss_grads(
         interpret = jax.default_backend() != "tpu"
     R = rays_o.shape[0]
     S = n_samples
+    # Under data-parallel sharding the local batch may be smaller than
+    # the default tile; shrink to fit (compiled TPU kernels still need
+    # a 128-multiple lane dim — i.e. n_rand/n_devices >= 128 on HW).
+    tile_r = min(tile_r, R)
     if R % tile_r:
         raise ValueError(f"n_rand={R} must be a multiple of tile_r={tile_r}")
     n_tiles = R // tile_r
@@ -381,7 +385,7 @@ def fused_loss_grads(
 def make_fused_grad_fn(
     s,
     tile_r: int = DEFAULT_TILE_R,
-    randomized: bool = True,
+    randomized: Optional[bool] = None,
     interpret: Optional[bool] = None,
 ):
     """(params, ro, rd, target, key) -> (grads, metrics) via the fused
@@ -391,6 +395,12 @@ def make_fused_grad_fn(
     jax.random — documented behavioral delta of the fused train path).
     """
     from tinynerf_tpu.utils.metrics import mse2psnr
+
+    if randomized is None:
+        # The hardware PRNG primitives have no CPU/interpret lowering;
+        # on CPU (tests, simulated meshes) fall back to deterministic
+        # stratified depths. Real-TPU training keeps the jitter.
+        randomized = jax.default_backend() == "tpu"
 
     def grad_fn(params, ro, rd, target, key):
         seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)

@@ -82,6 +82,7 @@ def make_sharded_train_block(
     block_size: int,
     mesh: Optional[Mesh] = None,
     loss=None,
+    grad_fn=None,
 ):
     """Jitted sharded K-step block with the same signature as
     training.make_train_block: (params, opt_state, key, step0,
@@ -103,6 +104,8 @@ def make_sharded_train_block(
             "custom losses (e.g. hierarchical NeRF) are data-parallel only; "
             "use sample_parallel=1"
         )
+    if grad_fn is not None and n_sample > 1:
+        raise ValueError("grad_fn (fused train kernel) is data-parallel only")
     local_rand = s.n_rand // n_data
     opt = make_optimizer(s.lr)
     axes = mesh.axis_names
@@ -118,11 +121,18 @@ def make_sharded_train_block(
         rd = rays_d_all[img_i][inds]
         target = pixels[img_i][inds]
 
-        if loss is not None:
-            local_loss = lambda p: loss(p, ro, rd, target, k_jitter, s)
+        if grad_fn is not None:
+            # e.g. the fused Pallas train kernel: each device runs it on
+            # its local ray shard; grads are then pmean'd like any DP.
+            grads, metrics = grad_fn(params, ro, rd, target, k_jitter)
         else:
-            local_loss = lambda p: _sharded_loss(p, ro, rd, target, k_jitter, s, n_sample)
-        grads, metrics = jax.grad(local_loss, has_aux=True)(params)
+            if loss is not None:
+                local_loss = lambda p: loss(p, ro, rd, target, k_jitter, s)
+            else:
+                local_loss = lambda p: _sharded_loss(
+                    p, ro, rd, target, k_jitter, s, n_sample
+                )
+            grads, metrics = jax.grad(local_loss, has_aux=True)(params)
         if n_sample > 1:
             # Each device's local grad is n_sample * (its block's true
             # contribution): the loss is computed redundantly on every

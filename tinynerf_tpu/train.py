@@ -111,9 +111,9 @@ def main(cfg: Config) -> dict:
     if cfg.data_parallel and jax.device_count() > 1:
         from tinynerf_tpu.parallel.train import make_sharded_train_block
 
-        if grad_fn is not None:
-            raise ValueError("--fused-train is single-device (round 1)")
-        train_block_factory = lambda n: make_sharded_train_block(settings, n, loss=loss)
+        train_block_factory = lambda n: make_sharded_train_block(
+            settings, n, loss=loss, grad_fn=grad_fn
+        )
     else:
         train_block_factory = lambda n: make_train_block(
             settings, n, loss=loss, grad_fn=grad_fn
