@@ -42,6 +42,7 @@ def make_multiscene_train_block(
     n_scenes: int,
     mesh: Optional[Mesh] = None,
     loss=None,
+    grad_fn=None,
 ):
     """Jitted sharded K-step block over batched scenes.
 
@@ -64,7 +65,7 @@ def make_multiscene_train_block(
     loss = loss or loss_fn
 
     def block(params, opt_state, key, step0, rays_o, rays_d, pixels):
-        me = jax.lax.axis_index(DATA_AXIS)
+        me = jax.lax.axis_index(DATA_AXIS) if n_data > 1 else 0
         scene_ids = me * k_loc + jnp.arange(k_loc)
         scene_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(scene_ids)
 
@@ -73,7 +74,9 @@ def make_multiscene_train_block(
             step = step0 + i
 
             def one_scene(p, o, k, ro, rd, px):
-                return _step_body(p, o, k, step, ro, rd, px, s, opt, loss)
+                # grad_fn (the fused Pallas kernel) vmaps across scenes:
+                # Pallas supports batching by extending the grid.
+                return _step_body(p, o, k, step, ro, rd, px, s, opt, loss, grad_fn)
 
             params, opt_state, metrics = jax.vmap(one_scene)(
                 params, opt_state, scene_keys, rays_o, rays_d, pixels
@@ -84,6 +87,12 @@ def make_multiscene_train_block(
             body, (params, opt_state), jnp.arange(block_size)
         )
         return params, opt_state, metrics
+
+    if n_data == 1:
+        # Trivial mesh: skip shard_map entirely — its single-device
+        # wrapper measured ~10x step overhead (layout copies around the
+        # vmapped kernel) with zero benefit.
+        return jax.jit(block, donate_argnums=(0, 1))
 
     scene_sharded = P(DATA_AXIS)
     sharded = jax.shard_map(

@@ -52,6 +52,7 @@ class MultiSceneConfig:
     ckpt_path: str = "checkpoints/multiscene.npz"
     data_dir: str = "data/multiscene"
     preview: bool = True
+    fused_train: bool = False  # fused Pallas fwd+bwd kernel per scene
     n_devices: Optional[int] = None
 
 
@@ -100,7 +101,15 @@ def main(cfg: MultiSceneConfig) -> dict:
         lr=cfg.lr,
     )
     params, opt_state = init_multiscene_state(jax.random.PRNGKey(cfg.seed), cfg.scenes, s)
-    block = make_multiscene_train_block(s, cfg.log_every, cfg.scenes, mesh)
+    grad_fn = None
+    if cfg.fused_train:
+        from tinynerf_tpu.kernels.fused_train import make_fused_grad_fn
+
+        grad_fn = make_fused_grad_fn(s)
+        print("[train] fused Pallas fwd+bwd kernel enabled (vmapped over scenes)")
+    block = make_multiscene_train_block(
+        s, cfg.log_every, cfg.scenes, mesh, grad_fn=grad_fn
+    )
     key = jax.random.PRNGKey(cfg.seed + 1)
 
     from tqdm import tqdm
@@ -111,7 +120,7 @@ def main(cfg: MultiSceneConfig) -> dict:
     for b in range(0, cfg.iters, cfg.log_every):
         n = min(cfg.log_every, cfg.iters - b)
         if n != cfg.log_every:
-            block = make_multiscene_train_block(s, n, cfg.scenes, mesh)
+            block = make_multiscene_train_block(s, n, cfg.scenes, mesh, grad_fn=grad_fn)
         params, opt_state, m = block(
             params, opt_state, key, jnp.int32(b), rays_o, rays_d, pixels
         )
