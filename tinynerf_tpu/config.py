@@ -27,6 +27,8 @@ class Config:
     n_rand: int = 2048  # random rays per step
     n_samples: int = 64  # samples along each ray
     lr: float = 5e-4
+    lr_decay_steps: int = 0  # >0: exponential decay over this many steps
+    lr_decay_factor: float = 0.1  # final lr = lr * factor (NeRF schedule)
     near: float = 2.0
     far: float = 6.0
     log_every: int = 50
@@ -96,6 +98,8 @@ class Config:
             far=self.far,
             num_freqs=self.num_freqs,
             lr=self.lr,
+            lr_decay_steps=self.lr_decay_steps,
+            lr_decay_factor=self.lr_decay_factor,
             white_bkgd=True,
             model_cfg=self.model_cfg(),
         )

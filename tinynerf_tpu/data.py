@@ -81,6 +81,12 @@ def ensure_data(
             f"{path} not found and could not be fetched; "
             "run scripts/get_data.sh or pass allow_synthetic=True"
         )
+    # Loud, unmissable: a requested dataset is being substituted.
+    print(
+        f"[data] WARNING: {path} unavailable (no file, no egress) — "
+        f"falling back to the procedural synthetic scene ({synthetic_path})",
+        flush=True,
+    )
     if os.path.exists(synthetic_path):
         d = load_tiny_nerf_npz(synthetic_path)
         d["synthetic"] = True

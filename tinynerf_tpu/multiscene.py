@@ -25,14 +25,14 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from tinynerf_tpu.models.tinynerf import init_tinynerf
 from tinynerf_tpu.parallel.mesh import DATA_AXIS, make_mesh, mesh_axes
-from tinynerf_tpu.training import TrainSettings, _step_body, loss_fn, make_optimizer
+from tinynerf_tpu.training import TrainSettings, _step_body, loss_fn, settings_optimizer
 
 
 def init_multiscene_state(key: jax.Array, n_scenes: int, s: TrainSettings):
     """(params, opt_state) with a leading scene axis."""
     keys = jax.random.split(key, n_scenes)
     params = jax.vmap(lambda k: init_tinynerf(k, s.model_cfg))(keys)
-    opt_state = jax.vmap(make_optimizer(s.lr).init)(params)
+    opt_state = jax.vmap(settings_optimizer(s).init)(params)
     return params, opt_state
 
 
@@ -61,7 +61,7 @@ def make_multiscene_train_block(
     if n_scenes % n_data:
         raise ValueError(f"n_scenes={n_scenes} not divisible by mesh size {n_data}")
     k_loc = n_scenes // n_data
-    opt = make_optimizer(s.lr)
+    opt = settings_optimizer(s)
     loss = loss or loss_fn
 
     def block(params, opt_state, key, step0, rays_o, rays_d, pixels):

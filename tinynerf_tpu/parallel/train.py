@@ -37,7 +37,7 @@ from tinynerf_tpu.ops.volume import (
     global_deltas,
 )
 from tinynerf_tpu.parallel.mesh import DATA_AXIS, SAMPLE_AXIS, make_mesh, mesh_axes
-from tinynerf_tpu.training import TrainSettings, make_optimizer
+from tinynerf_tpu.training import TrainSettings, settings_optimizer
 from tinynerf_tpu.utils.metrics import mse2psnr
 
 
@@ -107,7 +107,7 @@ def make_sharded_train_block(
     if grad_fn is not None and n_sample > 1:
         raise ValueError("grad_fn (fused train kernel) is data-parallel only")
     local_rand = s.n_rand // n_data
-    opt = make_optimizer(s.lr)
+    opt = settings_optimizer(s)
     axes = mesh.axis_names
 
     def step_body(params, opt_state, key, step, rays_o_all, rays_d_all, pixels):

@@ -44,12 +44,30 @@ class TrainSettings:
     far: float = 6.0
     num_freqs: int = 10
     lr: float = 5e-4
+    # Optional exponential decay to lr*lr_decay_factor over lr_decay_steps
+    # (the NeRF paper's schedule; the reference uses constant lr — this
+    # stays off by default for parity).
+    lr_decay_steps: int = 0
+    lr_decay_factor: float = 0.1
     white_bkgd: bool = True
     model_cfg: TinyNeRFConfig = TinyNeRFConfig()
 
 
-def make_optimizer(lr: float) -> optax.GradientTransformation:
+def make_optimizer(
+    lr: float, decay_steps: int = 0, decay_factor: float = 0.1
+) -> optax.GradientTransformation:
+    if decay_steps > 0:
+        schedule = optax.exponential_decay(
+            init_value=lr,
+            transition_steps=decay_steps,
+            decay_rate=decay_factor,
+        )
+        return optax.adam(schedule, b1=0.9, b2=0.999, eps=1e-8)
     return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+
+
+def settings_optimizer(s: TrainSettings) -> optax.GradientTransformation:
+    return make_optimizer(s.lr, s.lr_decay_steps, s.lr_decay_factor)
 
 
 def loss_fn(
@@ -113,7 +131,7 @@ def make_train_step(s: TrainSettings, loss=None):
     hierarchical coarse/fine loss (models/nerf.make_hierarchical_loss)
     plugs in here with a {'coarse','fine'} params pytree.
     """
-    opt = make_optimizer(s.lr)
+    opt = settings_optimizer(s)
     loss = loss or loss_fn
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -133,7 +151,7 @@ def make_train_block(s: TrainSettings, block_size: int, loss=None, grad_fn=None)
     Pass grad_fn (see _step_body) to route gradients through the fused
     Pallas train kernel.
     """
-    opt = make_optimizer(s.lr)
+    opt = settings_optimizer(s)
     loss = loss or loss_fn
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -166,5 +184,5 @@ def init_train_state(key: jax.Array, s: TrainSettings, init_fn=None):
         params = init_tinynerf(key, s.model_cfg)
     else:
         params = init_fn(key)
-    opt_state = make_optimizer(s.lr).init(params)
+    opt_state = settings_optimizer(s).init(params)
     return params, opt_state
