@@ -92,6 +92,7 @@ def main(cfg: GifConfig = GifConfig()) -> None:
             near=cfg.near,
             far=cfg.far,
             nerf_cfg=ncfg,
+            use_fused=cfg.fused,
         )
     else:
         model_cfg = TinyNeRFConfig(

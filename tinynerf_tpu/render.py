@@ -140,27 +140,47 @@ def make_hierarchical_image_renderer(
     far: float = 6.0,
     white_bkgd: bool = True,
     nerf_cfg=None,
+    use_fused: bool = False,
 ):
     """Jitted `(params, pose) -> (H, W, 3)` renderer for the full NeRF
-    (coarse/fine) model: the fine composite is the output image."""
+    (coarse/fine) model: the fine composite is the output image.
+    use_fused routes both MLP passes through the fused Pallas pipeline
+    (kernels/fused_nerf.py)."""
     from tinynerf_tpu.models.nerf import NeRFConfig, render_rays_hierarchical
 
     nerf_cfg = nerf_cfg or NeRFConfig()
 
     def fn(params, pose):
         def one_chunk(ro, rd):
-            _, comp_f = render_rays_hierarchical(
-                params,
-                ro,
-                rd,
-                n_coarse=n_coarse,
-                n_fine=n_fine,
-                near=near,
-                far=far,
-                white_bkgd=white_bkgd,
-                cfg=nerf_cfg,
-                randomized=False,
-            )
+            if use_fused:
+                from tinynerf_tpu.kernels.fused_nerf import (
+                    fused_render_rays_hierarchical,
+                )
+
+                _, comp_f = fused_render_rays_hierarchical(
+                    params,
+                    ro,
+                    rd,
+                    n_coarse=n_coarse,
+                    n_fine=n_fine,
+                    near=near,
+                    far=far,
+                    white_bkgd=white_bkgd,
+                    cfg=nerf_cfg,
+                )
+            else:
+                _, comp_f = render_rays_hierarchical(
+                    params,
+                    ro,
+                    rd,
+                    n_coarse=n_coarse,
+                    n_fine=n_fine,
+                    near=near,
+                    far=far,
+                    white_bkgd=white_bkgd,
+                    cfg=nerf_cfg,
+                    randomized=False,
+                )
             return comp_f
 
         return chunked_over_rays(one_chunk, H, W, float(focal), pose, chunk)

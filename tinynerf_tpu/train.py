@@ -132,6 +132,7 @@ def main(cfg: Config) -> dict:
             near=cfg.near,
             far=cfg.far,
             nerf_cfg=ncfg,
+            use_fused=cfg.fused,
         )
     else:
         renderer = make_image_renderer(
