@@ -1,0 +1,62 @@
+"""Golden-image regression: a fixed-seed render must stay pixel-stable.
+
+Pins the entire deterministic pipeline (init -> rays -> sampling ->
+encoding -> MLP -> composite -> chunked image assembly) against silent
+numeric drift. The fixture was generated on CPU in f32
+(tests/golden_render_16x16.npy); regenerate ONLY for intentional
+behavioral changes, and note why in the commit.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tinynerf_tpu.models.tinynerf import TinyNeRFConfig
+from tinynerf_tpu.render import render_image_fn
+from tinynerf_tpu.training import TrainSettings, init_train_state
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden_render_16x16.npy")
+
+
+def _render(use_fused=False):
+    cfg = TinyNeRFConfig(compute_dtype=jnp.float32)
+    params, _ = init_train_state(jax.random.PRNGKey(42), TrainSettings(model_cfg=cfg))
+    pose = jnp.eye(4).at[2, 3].set(4.0)
+    return np.asarray(
+        render_image_fn(
+            params, pose, H=16, W=16, focal=20.0, chunk=64,
+            n_samples=32, model_cfg=cfg, use_fused=use_fused,
+        )
+    )
+
+
+def test_render_matches_golden():
+    want = np.load(GOLDEN)
+    got = _render()
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_fused_kernel_matches_golden():
+    want = np.load(GOLDEN)
+    got = _render(use_fused=True)
+    np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+def test_chunk_size_invariance():
+    """Chunking must not change pixels (reference guarantee)."""
+    cfg = TinyNeRFConfig(compute_dtype=jnp.float32)
+    params, _ = init_train_state(jax.random.PRNGKey(42), TrainSettings(model_cfg=cfg))
+    pose = jnp.eye(4).at[2, 3].set(4.0)
+    imgs = [
+        np.asarray(
+            render_image_fn(
+                params, pose, H=16, W=16, focal=20.0, chunk=c,
+                n_samples=32, model_cfg=cfg,
+            )
+        )
+        for c in (32, 64, 256)
+    ]
+    np.testing.assert_allclose(imgs[0], imgs[1], atol=1e-6)
+    np.testing.assert_allclose(imgs[1], imgs[2], atol=1e-6)

@@ -138,3 +138,25 @@ class TestSynthetic:
         assert float(np.abs(a["images"] - b["images"]).max()) > 0.05  # distinct scenes
         assert np.isfinite(a["images"]).all()
         assert a["images"].min() >= 0 and a["images"].max() <= 1
+
+
+class TestCheckpointRotation:
+    def test_keep_last_k(self, tmp_path):
+        from tinynerf_tpu.utils.checkpoint import save_checkpoint_rotating
+
+        import jax, jax.numpy as jnp
+        from tinynerf_tpu.training import TrainSettings, init_train_state
+        from tinynerf_tpu.models.tinynerf import TinyNeRFConfig
+        from tinynerf_tpu.ops.encoding import encoding_dim
+
+        s = TrainSettings(
+            model_cfg=TinyNeRFConfig(in_dim=encoding_dim(3), hidden=8), num_freqs=3
+        )
+        params, opt = init_train_state(jax.random.PRNGKey(0), s)
+        path = str(tmp_path / "ckpt.npz")
+        for step in (10, 20, 30, 40):
+            save_checkpoint_rotating(path, params, opt, step, keep=2)
+        files = sorted(os.listdir(tmp_path))
+        assert "ckpt.npz" in files
+        hist = [f for f in files if ".step" in f]
+        assert hist == ["ckpt.npz.step00000030.npz", "ckpt.npz.step00000040.npz"]

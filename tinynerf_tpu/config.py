@@ -67,6 +67,8 @@ class Config:
     metrics_path: Optional[str] = None  # JSONL metrics log
     holdout: int = 0  # trailing poses excluded from training, used for
     # held-out novel-view PSNR evaluation at the end of the run
+    ckpt_keep: int = 0  # >0: also retain the last N step-stamped
+    # checkpoint copies (0 = single latest file, reference behavior)
 
     def model_cfg(self) -> TinyNeRFConfig:
         return TinyNeRFConfig(

@@ -149,7 +149,12 @@ def main(cfg: Config) -> dict:
         )
 
     def save_ckpt(step: int):
-        ckpt_lib.save_checkpoint(
+        save = (
+            (lambda *a, **k: ckpt_lib.save_checkpoint_rotating(*a, **k, keep=cfg.ckpt_keep))
+            if cfg.ckpt_keep > 0
+            else ckpt_lib.save_checkpoint
+        )
+        save(
             cfg.ckpt_path,
             params,
             opt_state,

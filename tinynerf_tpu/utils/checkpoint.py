@@ -98,3 +98,32 @@ def restore_checkpoint(path: str, params_template, opt_state_template):
 
 def latest_exists(path: str) -> bool:
     return os.path.exists(path)
+
+
+def save_checkpoint_rotating(
+    path: str,
+    params,
+    opt_state,
+    step: int,
+    meta: Optional[Dict[str, Any]] = None,
+    keep: int = 3,
+) -> None:
+    """save_checkpoint + retain the last `keep` step-stamped copies.
+
+    Writes `path` (the latest, reference-schema semantics) and
+    `path.step{N}.npz` history, pruning older history files — cheap
+    insurance against a corrupt final write or a bad training excursion.
+    """
+    save_checkpoint(path, params, opt_state, step, meta)
+    base = os.path.abspath(path)
+    hist = f"{base}.step{step:08d}.npz"
+    import shutil
+
+    shutil.copyfile(base, hist)
+    prefix = os.path.basename(base) + ".step"
+    dirname = os.path.dirname(base)
+    history = sorted(
+        f for f in os.listdir(dirname) if f.startswith(prefix) and f.endswith(".npz")
+    )
+    for old in history[:-keep]:
+        os.unlink(os.path.join(dirname, old))
