@@ -1,0 +1,433 @@
+"""Fused Pallas training kernels for the full hierarchical NeRF.
+
+The hierarchical objective (models/nerf.make_hierarchical_loss) is
+mse(coarse) + mse(fine) with stop_gradient on the resampling weights —
+so the two passes' backwards are INDEPENDENT given their depths. Each
+pass therefore gets one fused fwd+bwd kernel (encode -> trunk ->
+sigma head -> viewdir branch -> rgb head -> composite -> MSE residual
+-> parameter gradients, all in VMEM), and the only XLA between them is
+the tiny inverse-CDF resample + sort on (R, S) arrays:
+
+  coarse kernel (jittered z in-register via the TPU PRNG;
+                 emits loss_c, grads_c, weights, and the z it used)
+    -> sample_pdf + sorted union (ops/sampling.py)
+    -> fine kernel (z input; emits loss_f, grads_f)
+
+Backward structure beyond kernels/fused_train.py: the trunk output
+feeds BOTH heads, so its gradient is the sum of the sigma-head and
+rgb-branch contributions; the rgb branch's concat'd direction encoding
+receives no gradient (directions aren't differentiated) — the upstream
+dot uses the weight sliced to its first `hidden` input rows, and the
+direction-encoding rows still contribute to the WEIGHT gradient via the
+rebuilt concat input.
+
+Gradient parity with jax.grad of the unfused hierarchical loss is
+asserted on the deterministic-depth path (tests/test_fused_nerf_train.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tinynerf_tpu.kernels.fused_nerf import _prepare_nerf_weights
+from tinynerf_tpu.kernels.fused_render import _encode_permutation, _iota2
+from tinynerf_tpu.models.nerf import NeRFConfig
+from tinynerf_tpu.ops.volume import DELTA_INF, TRANS_EPS
+
+DEFAULT_TILE_R = 128
+
+
+def _nerf_train_kernel(
+    seed_ref,  # (1,1) int32 SMEM
+    o_ref,  # (3, TR)
+    d_ref,  # (3, TR)
+    t_ref,  # (3, TR) target rgb
+    *args,  # [z_ref (S, TR)]? + weight refs + output refs
+    S: int,
+    has_z: bool,
+    emit_sampling: bool,  # also output (weights, z) for resampling
+    randomized: bool,
+    num_freqs: int,
+    num_freqs_dir: int,
+    use_viewdirs: bool,
+    n_layers: int,
+    skip_at: int,
+    near: float,
+    far: float,
+    white_bkgd: bool,
+    inv_n: float,
+    compute_dtype,
+):
+    if has_z:
+        z_ref, args = args[0], args[1:]
+    n_wb = 2 * (n_layers + 3)  # trunk + sigma + rgb_in + rgb
+    wb = args[:n_wb]
+    outs = args[n_wb:]
+    loss_ref = outs[0]
+    g_refs = outs[1 : 1 + n_wb]
+    if emit_sampling:
+        w_out_ref, z_out_ref = outs[1 + n_wb], outs[2 + n_wb]
+
+    TR = o_ref.shape[1]
+    P = TR * S
+    L = num_freqs
+    f32 = jnp.float32
+    HI = jax.lax.Precision.HIGHEST
+    first = pl.program_id(0) == 0
+    s_row = _iota2((1, P), 1) // TR
+
+    # ---- depths ----
+    if has_z:
+        z_row = z_ref[:].reshape(1, P)
+    else:
+        h_bin = (far - near) / (S - 1)
+        grid_z = near + h_bin * s_row.astype(f32)
+        if randomized:
+            pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+            bits = pltpu.bitcast(pltpu.prng_random_bits((1, P)), jnp.int32)
+            u = (bits & 0xFFFFFF).astype(f32) * (1.0 / (1 << 24))
+            lower = jnp.where(s_row == 0, grid_z, grid_z - 0.5 * h_bin)
+            upper = jnp.where(s_row == S - 1, grid_z, grid_z + 0.5 * h_bin)
+            z_row = lower + (upper - lower) * u
+        else:
+            z_row = grid_z
+
+    norm = jnp.sqrt(jnp.sum(d_ref[:] * d_ref[:], axis=0, keepdims=True))
+    norm_rep = pltpu.repeat(norm, S, axis=1)
+    z_next = pltpu.roll(z_row, shift=P - TR, axis=1)
+    delta = jnp.where(s_row == S - 1, DELTA_INF, z_next - z_row) * norm_rep
+
+    od = pltpu.repeat(jnp.concatenate([o_ref[:], d_ref[:]], axis=0), S, axis=1)
+    pts = od[0:3] + od[3:6] * z_row
+
+    def fourier(x, n_freqs):
+        r_ids = _iota2((3 * n_freqs, 3), 0)
+        c_ids = _iota2((3 * n_freqs, 3), 1)
+        B = jnp.where(r_ids % 3 == c_ids, jnp.exp2((r_ids // 3).astype(f32)), 0.0)
+        th = jnp.dot(B, x, preferred_element_type=f32, precision=HI)
+        return jnp.concatenate([x, jnp.sin(th), jnp.cos(th)], axis=0)
+
+    enc_c = fourier(pts, L).astype(compute_dtype)  # (E, P)
+
+    def dense(h_c, i):
+        return (
+            jnp.dot(
+                wb[2 * i][:].astype(compute_dtype), h_c,
+                preferred_element_type=f32,
+            )
+            + wb[2 * i + 1][:]
+        )
+
+    # ---- forward (store slim bf16 post-activations) ----
+    acts = [enc_c]
+    for i in range(n_layers):
+        h_in = acts[i] if i != skip_at else jnp.concatenate([acts[i], enc_c], axis=0)
+        acts.append(jnp.maximum(dense(h_in, i), 0.0).astype(compute_dtype))
+    h_trunk = acts[n_layers]  # (hidden, P)
+
+    I_SIG, I_IN, I_RGB = n_layers, n_layers + 1, n_layers + 2
+    sigma = jnp.maximum(dense(h_trunk, I_SIG), 0.0)  # (1, P)
+
+    if use_viewdirs:
+        vdir = d_ref[:] / norm
+        enc_d_rep = pltpu.repeat(
+            fourier(vdir, num_freqs_dir), S, axis=1
+        ).astype(compute_dtype)  # (Dd, P)
+        rgb_in_input = jnp.concatenate([h_trunk, enc_d_rep], axis=0)
+    else:
+        rgb_in_input = h_trunk
+    g1 = jnp.maximum(dense(rgb_in_input, I_IN), 0.0).astype(compute_dtype)
+    rgb = jax.nn.sigmoid(dense(g1, I_RGB))  # (3, P)
+
+    # ---- composite ----
+    one_m = jnp.exp(-sigma * delta) + TRANS_EPS
+    alpha = 1.0 - (one_m - TRANS_EPS)
+    x = one_m
+    dd = 1
+    while dd < S:
+        x = x * jnp.where(s_row >= dd, pltpu.roll(x, shift=dd * TR, axis=1), 1.0)
+        dd *= 2
+    trans = jnp.where(s_row >= 1, pltpu.roll(x, shift=TR, axis=1), 1.0)
+    w = alpha * trans
+
+    A = jnp.concatenate([rgb * w, w], axis=0)
+    n = P
+    blocks = S
+    while blocks > 1 and blocks % 2 == 0:
+        n //= 2
+        A = A[:, :n] + A[:, n:]
+        blocks //= 2
+    if blocks > 1:
+        A = sum(A[:, k * TR : (k + 1) * TR] for k in range(blocks))
+    comp = A[0:3]
+    acc = A[3:4]
+    if white_bkgd:
+        comp = comp + (1.0 - acc)
+    resid = comp - t_ref[:]
+
+    @pl.when(first)
+    def _():
+        loss_ref[0, 0] = 0.0
+
+    loss_ref[0, 0] = loss_ref[0, 0] + jnp.sum(resid * resid) * inv_n
+
+    if emit_sampling:
+        w_out_ref[:] = w.reshape(S, TR)
+        z_out_ref[:] = z_row.reshape(S, TR)
+
+    # ---- backward ----
+    g_comp = (2.0 * inv_n) * resid
+    g3 = pltpu.repeat(g_comp, S, axis=1)
+    g_rgb = g3 * w
+    g_w = jnp.sum(g3 * rgb, axis=0, keepdims=True)
+    if white_bkgd:
+        g_w = g_w + pltpu.repeat(-jnp.sum(g_comp, axis=0, keepdims=True), S, axis=1)
+    g_alpha = g_w * trans
+    g_trans = g_w * alpha
+    T = g_trans * trans
+    y = T
+    dd = 1
+    while dd < S:
+        y = y + jnp.where(
+            s_row <= S - 1 - dd, pltpu.roll(y, shift=P - dd * TR, axis=1), 0.0
+        )
+        dd *= 2
+    suf = jnp.where(s_row <= S - 2, pltpu.roll(y, shift=P - TR, axis=1), 0.0)
+    g_one_m = suf / one_m - g_alpha
+    g_sigma = g_one_m * (-(delta) * (one_m - TRANS_EPS))
+
+    def accum(ref, val):
+        @pl.when(first)
+        def _():
+            ref[:] = jnp.zeros_like(ref)
+
+        ref[:] += val
+
+    def dense_bwd(g_c, i, h_in_c, keep_in=None):
+        gw = jax.lax.dot_general(
+            g_c, h_in_c, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        accum(g_refs[2 * i], gw)
+        accum(g_refs[2 * i + 1], jnp.sum(g_c.astype(f32), axis=1, keepdims=True))
+        w_full = wb[2 * i][:]
+        w_up = w_full if keep_in is None else w_full[:, :keep_in]
+        return jax.lax.dot_general(
+            w_up.astype(compute_dtype), g_c,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        ).astype(compute_dtype)
+
+    hidden = h_trunk.shape[0]
+
+    # rgb head -> rgb_in branch.
+    g_rgbpre = (g_rgb * rgb * (1.0 - rgb)).astype(compute_dtype)  # (3, P)
+    g_g1 = dense_bwd(g_rgbpre, I_RGB, g1)  # (rgb_hidden, P)
+    g_a1 = g_g1 * (g1.astype(f32) > 0).astype(compute_dtype)
+    g_h_rgb = dense_bwd(g_a1, I_IN, rgb_in_input, keep_in=hidden)  # (hidden, P)
+
+    # sigma head (gradient masked by its ReLU).
+    g_sigpre = (g_sigma * (sigma > 0)).astype(compute_dtype)  # (1, P)
+    g_h_sig = dense_bwd(g_sigpre, I_SIG, h_trunk)  # (hidden, P)
+
+    # trunk: output feeds both heads.
+    g = g_h_rgb + g_h_sig
+    for i in reversed(range(n_layers)):
+        g = g * (acts[i + 1].astype(f32) > 0).astype(compute_dtype)
+        h_in = acts[i] if i != skip_at else jnp.concatenate([acts[i], enc_c], axis=0)
+        g = dense_bwd(g, i, h_in, keep_in=hidden if i == skip_at else None)
+
+
+def fused_nerf_pass_grads(
+    mlp_params,
+    rays_o: jax.Array,
+    rays_d: jax.Array,
+    target: jax.Array,
+    seed,
+    z_vals: Optional[jax.Array] = None,
+    *,
+    n_samples: int = 64,
+    near: float = 2.0,
+    far: float = 6.0,
+    randomized: bool = True,
+    white_bkgd: bool = True,
+    emit_sampling: bool = False,
+    cfg: NeRFConfig = NeRFConfig(),
+    tile_r: int = DEFAULT_TILE_R,
+    interpret: Optional[bool] = None,
+):
+    """One fused fwd+bwd NeRF-MLP pass -> (loss, grads[, weights, z])."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    R = rays_o.shape[0]
+    S = z_vals.shape[1] if z_vals is not None else n_samples
+    tile_r = min(tile_r, R)
+    if R % tile_r:
+        raise ValueError(f"n_rand={R} must be a multiple of tile_r={tile_r}")
+    n_tiles = R // tile_r
+
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+    o_t = rays_o.astype(jnp.float32).T
+    d_t = rays_d.astype(jnp.float32).T
+    t_t = target.astype(jnp.float32).T
+    inputs = [seed_arr, o_t, d_t, t_t]
+
+    wbs = _prepare_nerf_weights(mlp_params, cfg)
+    n_layers = cfg.depth
+
+    ray_spec = lambda rows: pl.BlockSpec(
+        (rows, tile_r), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    seed_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    in_specs = [seed_spec, ray_spec(3), ray_spec(3), ray_spec(3)]
+    if z_vals is not None:
+        inputs.append(z_vals.astype(jnp.float32).T)  # (S, R)
+        in_specs.append(ray_spec(S))
+    in_specs += [full() for _ in wbs]
+
+    out_shapes = [jax.ShapeDtypeStruct((1, 1), jnp.float32)]
+    out_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    for wset in wbs:
+        out_shapes.append(jax.ShapeDtypeStruct(wset.shape, jnp.float32))
+        out_specs.append(full())
+    if emit_sampling:
+        out_shapes.append(jax.ShapeDtypeStruct((S, R), jnp.float32))  # weights
+        out_specs.append(ray_spec(S))
+        out_shapes.append(jax.ShapeDtypeStruct((S, R), jnp.float32))  # z
+        out_specs.append(ray_spec(S))
+
+    kernel = functools.partial(
+        _nerf_train_kernel,
+        S=S,
+        has_z=z_vals is not None,
+        emit_sampling=emit_sampling,
+        randomized=randomized,
+        num_freqs=cfg.num_freqs,
+        num_freqs_dir=cfg.num_freqs_dir,
+        use_viewdirs=cfg.use_viewdirs,
+        n_layers=n_layers,
+        skip_at=cfg.skip_at,
+        near=float(near),
+        far=float(far),
+        white_bkgd=white_bkgd,
+        inv_n=1.0 / (R * 3),
+        compute_dtype=cfg.compute_dtype,
+    )
+
+    pts = R * S
+    mac = sum(int(np.prod(w.shape)) for w in wbs[::2])
+    cost = pl.CostEstimate(
+        flops=2 * 3 * pts * mac,
+        bytes_accessed=R * (9 + (S if z_vals is not None else 0)) * 4 + 2 * mac * 4,
+        transcendentals=pts * (6 * cfg.num_freqs + 6),
+    )
+
+    outs = pl.pallas_call(
+        lambda *a: kernel(*a),
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        cost_estimate=cost,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(*inputs, *wbs)
+
+    loss = outs[0][0, 0]
+    g_kernel = outs[1 : 1 + len(wbs)]
+
+    # Map kernel-layout grads back to the model pytree (inverse of
+    # _prepare_nerf_weights: transpose + inverse row permutations).
+    perm = _encode_permutation(cfg.num_freqs)
+    inv = np.argsort(perm)
+    hidden = cfg.hidden
+    layers = []
+    for i in range(n_layers):
+        gw = g_kernel[2 * i].T
+        if i == 0:
+            gw = jnp.take(gw, inv, axis=0)
+        elif i == cfg.skip_at:
+            gw = jnp.concatenate(
+                [gw[:hidden], jnp.take(gw[hidden:], inv, axis=0)], axis=0
+            )
+        layers.append({"w": gw, "b": g_kernel[2 * i + 1][:, 0]})
+    gs = {
+        "layers": layers,
+        "sigma": {
+            "w": g_kernel[2 * n_layers].T,
+            "b": g_kernel[2 * n_layers + 1][:, 0],
+        },
+    }
+    gw_in = g_kernel[2 * n_layers + 2].T  # (hidden+Dd, rgb_hidden)
+    if cfg.use_viewdirs:
+        inv_d = np.argsort(_encode_permutation(cfg.num_freqs_dir))
+        gw_in = jnp.concatenate(
+            [gw_in[:hidden], jnp.take(gw_in[hidden:], inv_d, axis=0)], axis=0
+        )
+    gs["rgb_in"] = {"w": gw_in, "b": g_kernel[2 * n_layers + 3][:, 0]}
+    gs["rgb"] = {
+        "w": g_kernel[2 * n_layers + 4].T,
+        "b": g_kernel[2 * n_layers + 5][:, 0],
+    }
+
+    if emit_sampling:
+        return loss, gs, outs[-2].T, outs[-1].T  # weights (R,S), z (R,S)
+    return loss, gs
+
+
+def make_fused_nerf_grad_fn(
+    s,
+    cfg: NeRFConfig,
+    n_fine: int = 64,
+    tile_r: int = DEFAULT_TILE_R,
+    randomized: Optional[bool] = None,
+    interpret: Optional[bool] = None,
+):
+    """Hierarchical (coarse+fine) fused gradient fn, drop-in for
+    jax.grad of models/nerf.make_hierarchical_loss.
+
+    (params{'coarse','fine'}, ro, rd, target, key) -> (grads, metrics).
+    """
+    from tinynerf_tpu.ops.sampling import sample_pdf
+    from tinynerf_tpu.utils.metrics import mse2psnr
+
+    if randomized is None:
+        randomized = jax.default_backend() == "tpu"
+
+    def grad_fn(params, ro, rd, target, key):
+        k_seed, k_pdf = jax.random.split(key)
+        seed = jax.random.randint(k_seed, (), 0, 2**31 - 1, dtype=jnp.int32)
+        loss_c, g_c, weights, z_c = fused_nerf_pass_grads(
+            params["coarse"], ro, rd, target, seed,
+            n_samples=s.n_samples, near=s.near, far=s.far,
+            randomized=randomized, white_bkgd=s.white_bkgd,
+            emit_sampling=True, cfg=cfg, tile_r=tile_r, interpret=interpret,
+        )
+        z_mids = 0.5 * (z_c[:, 1:] + z_c[:, :-1])
+        z_f = sample_pdf(
+            z_mids, jax.lax.stop_gradient(weights[:, 1:-1]), n_fine,
+            randomized=randomized, key=k_pdf if randomized else None,
+        )
+        z_union = jnp.sort(jnp.concatenate([z_c, z_f], axis=-1), axis=-1)
+        loss_f, g_f = fused_nerf_pass_grads(
+            params["fine"], ro, rd, target, seed, z_union,
+            near=s.near, far=s.far, randomized=False,
+            white_bkgd=s.white_bkgd, cfg=cfg, tile_r=tile_r, interpret=interpret,
+        )
+        grads = {"coarse": g_c, "fine": g_f}
+        return grads, {
+            "loss": loss_f,
+            "psnr": mse2psnr(loss_f),
+            "loss_coarse": loss_c,
+        }
+
+    return grad_fn

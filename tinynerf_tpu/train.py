@@ -101,11 +101,14 @@ def main(cfg: Config) -> dict:
 
     grad_fn = None
     if cfg.fused_train:
-        if cfg.model != "tinynerf":
-            raise ValueError("--fused-train supports the tinynerf model only")
-        from tinynerf_tpu.kernels.fused_train import make_fused_grad_fn
+        if cfg.model == "nerf":
+            from tinynerf_tpu.kernels.fused_nerf_train import make_fused_nerf_grad_fn
 
-        grad_fn = make_fused_grad_fn(settings)
+            grad_fn = make_fused_nerf_grad_fn(settings, ncfg, n_fine=cfg.n_fine)
+        else:
+            from tinynerf_tpu.kernels.fused_train import make_fused_grad_fn
+
+            grad_fn = make_fused_grad_fn(settings)
         print("[train] fused Pallas fwd+bwd kernel enabled")
 
     if cfg.data_parallel and jax.device_count() > 1:
