@@ -65,3 +65,44 @@ def test_batched_matches_single(rng):
         ro, rd = get_rays(H, W, focal, jnp.asarray(poses[k]))
         np.testing.assert_allclose(np.asarray(ro_b[k]), np.asarray(ro), atol=1e-6)
         np.testing.assert_allclose(np.asarray(rd_b[k]), np.asarray(rd), atol=1e-6)
+
+
+def test_ndc_rays_frustum_to_cube():
+    """NDC properties: near plane -> z=-1... (o+0*d), far (t->inf) -> z=+1;
+    x/y of frustum edges map to +-1."""
+    from tinynerf_tpu.ops.rays import ndc_rays
+
+    H = W = 8
+    focal = 4.0  # 90-degree-ish frustum
+    near = 1.0
+    ro, rd = get_rays(H, W, focal, jnp.eye(4))
+    no, nd = ndc_rays(H, W, focal, near, ro, rd)
+    no, nd = np.asarray(no), np.asarray(nd)
+    # Origin sits on the near plane: z component = 1 + 2*near/(-near) = -1.
+    np.testing.assert_allclose(no[:, 2], -1.0, atol=1e-5)
+    # t -> infinity limit: o + d has z -> -1 + 2 = 1.
+    np.testing.assert_allclose((no + nd)[:, 2], 1.0, atol=1e-5)
+    # All NDC x/y within the unit square (pixel centers inside frustum).
+    assert np.abs(no[:, :2]).max() <= 1.0 + 1e-4
+
+
+def test_ndc_points_stay_on_ndc_ray():
+    """World point at parameter t maps onto the NDC line o' + t'*d'."""
+    from tinynerf_tpu.ops.rays import ndc_rays
+
+    H = W = 4
+    focal, near = 3.0, 1.0
+    ro, rd = get_rays(H, W, focal, jnp.eye(4))
+    no, nd = ndc_rays(H, W, focal, near, ro, rd)
+    # Project a mid-ray world point manually and check collinearity.
+    ro_n = np.asarray(ro) + (
+        -(near + np.asarray(ro)[:, 2]) / np.asarray(rd)[:, 2]
+    )[:, None] * np.asarray(rd)
+    world = ro_n + 3.0 * np.asarray(rd)  # some point beyond near plane
+    px = -focal / (0.5 * W) * world[:, 0] / world[:, 2]
+    pz = 1.0 + 2.0 * near / world[:, 2]
+    # Solve t' from the z coordinate, then x must match.
+    no_np, nd_np = np.asarray(no), np.asarray(nd)
+    t_p = (pz - no_np[:, 2]) / nd_np[:, 2]
+    x_on_line = no_np[:, 0] + t_p * nd_np[:, 0]
+    np.testing.assert_allclose(x_on_line, px, atol=1e-4)

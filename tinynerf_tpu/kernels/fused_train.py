@@ -5,29 +5,31 @@ The XLA train step materializes every (n_rand*n_samples, 128)
 activation in HBM between the forward and backward passes (~tens of MB
 per step for a ~3ms step — bandwidth-bound). This kernel keeps the
 whole chain in VMEM: per ray-tile it runs encode -> MLP -> composite ->
-MSE residual, then backpropagates to PARAMETER gradients in-register,
-accumulating them across grid tiles into small (out, in) buffers.
+MSE residual, then backpropagates to PARAMETER gradients in-register.
 
 Key structural wins:
 - rays and jittered z-values are not differentiated (the reference
   doesn't backprop into sampling either), so there is NO sin/cos
   backward and no gradient w.r.t. points — only the parameter path;
-- activations are stored bf16 in VMEM for the backward matmuls
-  (weight-grad dots contract the huge P axis on the MXU);
-- the transmittance backward is a segmented SUFFIX sum (the transpose
-  of the forward prefix product): g_one_m[q] = sum_{p>q} g_trans[p] *
-  trans[p] / one_m[q], computed with the same Hillis-Steele lane-roll
-  scan run in reverse;
-- gradients accumulate across sequential grid steps into
-  constant-index output blocks (zero-initialized at tile 0).
-
-Layouts mirror kernels/fused_render.py: feature-major (features on
-sublanes, points on lanes), sample-major point order p = s*TILE_R + r;
-jittered z/delta arrays are packed by the wrapper into
-(n_tiles, S*TILE_R) rows so each tile reads one contiguous block.
+- the jitter is drawn by the TPU hardware PRNG in-register — the
+  kernel's only HBM inputs are rays, targets, and the (66k-param)
+  weights;
+- SINGLE grid step with a static in-kernel tile loop: a multi-step
+  grid re-issues every weight-block fetch per step and pays per-step
+  sequencing overhead (measured ~0.1ms of fixed cost per invocation
+  plus refetch costs); here weights load once, gradient accumulators
+  live in registers across the unrolled tile loop, and outputs are
+  written once;
+- both transmittance scans (forward prefix product, backward suffix
+  sum = its transpose) run in the DENSE (S, TILE_R) layout — the
+  sample-major flat row lane-splits to one ray per column, so each is
+  log2(S) SUBLANE rolls on fully-packed registers;
+- activations are stored bf16 for the backward matmuls (weight-grad
+  dots contract the huge P axis on the MXU); the skip-concat encoding
+  gradient is never materialized.
 
 Gradient parity with jax.grad of the unfused loss is asserted in
-tests/test_fused_train.py (interpret mode).
+tests/test_fused_train.py (interpret mode, deterministic depths).
 """
 
 from __future__ import annotations
@@ -43,17 +45,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tinynerf_tpu.kernels.fused_render import _encode_permutation, _iota2
 from tinynerf_tpu.models.tinynerf import TinyNeRFConfig
-from tinynerf_tpu.ops.volume import TRANS_EPS
+from tinynerf_tpu.ops.volume import DELTA_INF, TRANS_EPS
 
 DEFAULT_TILE_R = 128
 
 
 def _fused_train_kernel(
     seed_ref,  # (1, 1) int32 in SMEM: per-step PRNG seed
-    o_ref,  # (3, TR)
-    d_ref,  # (3, TR)
-    t_ref,  # (3, TR) target rgb (transposed)
+    o_ref,  # (3, R) full ray origins (transposed)
+    d_ref,  # (3, R) full ray directions
+    t_ref,  # (3, R) full target rgb
     *args,  # weight/bias refs, then output refs
+    TR: int,
+    n_tiles: int,
     S: int,
     num_freqs: int,
     n_layers: int,
@@ -71,52 +75,19 @@ def _fused_train_kernel(
     loss_ref = outs[0]
     g_refs = outs[1:]
 
-    TR = o_ref.shape[1]
     P = TR * S
     L = num_freqs
     f32 = jnp.float32
     HI = jax.lax.Precision.HIGHEST
-    first = pl.program_id(0) == 0
+    hidden = wb[2 * (n_layers - 1)][:].shape[0] if n_layers else 0
 
     s_row = _iota2((1, P), 1) // TR  # sample slot (sample-major)
-
-    # Stratified depths, generated in-register. The jitter draws one
-    # uniform per (ray, sample) in the reference's bins
-    # (src/sampling.py:20-25: half-width first/last bins from midpoints)
-    # using the TPU hardware PRNG — no z/delta HBM inputs at all.
+    row = _iota2((S, TR), 0)
     h_bin = (far - near) / (S - 1)
     grid_z = near + h_bin * s_row.astype(f32)  # (1, P)
-    if randomized:
-        pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
-        # Mosaic can't cast uint32->f32; keep 24 bits in a non-negative
-        # int32 instead (same [0, 1) uniform).
-        bits = pltpu.bitcast(pltpu.prng_random_bits((1, P)), jnp.int32)
-        u = (bits & 0xFFFFFF).astype(f32) * (1.0 / (1 << 24))  # [0, 1)
-        lower = jnp.where(s_row == 0, grid_z, grid_z - 0.5 * h_bin)
-        upper = jnp.where(s_row == S - 1, grid_z, grid_z + 0.5 * h_bin)
-        z_row = lower + (upper - lower) * u
-    else:
-        z_row = grid_z
-
-    # Deltas: z_{s+1} - z_s within each ray (neighbor sample is TR
-    # lanes away in sample-major order), 1e10 terminal, ||d||-scaled.
-    norm = jnp.sqrt(jnp.sum(d_ref[:] * d_ref[:], axis=0, keepdims=True))  # (1, TR)
-    norm_rep = pltpu.repeat(norm, S, axis=1)  # (1, P)
-    z_next = pltpu.roll(z_row, shift=P - TR, axis=1)
-    from tinynerf_tpu.ops.volume import DELTA_INF
-
-    delta = jnp.where(s_row == S - 1, DELTA_INF, z_next - z_row) * norm_rep
-
-    # ---------------- forward ----------------
-    od = pltpu.repeat(jnp.concatenate([o_ref[:], d_ref[:]], axis=0), S, axis=1)
-    pts = od[0:3] + od[3:6] * z_row  # (3, P)
-
     r_ids = _iota2((3 * L, 3), 0)
     c_ids = _iota2((3 * L, 3), 1)
     B = jnp.where(r_ids % 3 == c_ids, jnp.exp2((r_ids // 3).astype(f32)), 0.0)
-    theta = jnp.dot(B, pts, preferred_element_type=f32, precision=HI)
-    enc = jnp.concatenate([pts, jnp.sin(theta), jnp.cos(theta)], axis=0)  # (E, P)
-    enc_c = enc.astype(compute_dtype)
 
     def dense(h_c, i):
         return (
@@ -127,134 +98,156 @@ def _fused_train_kernel(
             + wb[2 * i + 1][:]
         )
 
-    # VMEM discipline: store only the slim post-activations (<= hidden
-    # rows each, compute_dtype); the skip layer's (hidden+E)-row concat
-    # input is rebuilt transiently wherever needed instead of living
-    # across the whole backward pass.
-    acts = [enc_c]  # acts[i] = post-activation output of layer i-1
-    for i in range(n_layers):
-        h_in = acts[i] if i != skip_at else jnp.concatenate(
-            [acts[i], enc_c], axis=0
+    def tile_grads(ti):
+        """One ray tile: forward + backward; returns (loss, [gw/gb...])."""
+        sl = slice(ti * TR, (ti + 1) * TR)
+        o_t, d_t, tgt = o_ref[:, sl], d_ref[:, sl], t_ref[:, sl]
+
+        # Stratified depths in-register; jitter via the TPU PRNG in the
+        # reference's bins (src/sampling.py:20-25).
+        if randomized:
+            pltpu.prng_seed(seed_ref[0, 0] + ti)
+            # Mosaic can't cast uint32->f32; keep 24 bits non-negative
+            # in int32 (same [0, 1) uniform).
+            bits = pltpu.bitcast(pltpu.prng_random_bits((1, P)), jnp.int32)
+            u = (bits & 0xFFFFFF).astype(f32) * (1.0 / (1 << 24))
+            lower = jnp.where(s_row == 0, grid_z, grid_z - 0.5 * h_bin)
+            upper = jnp.where(s_row == S - 1, grid_z, grid_z + 0.5 * h_bin)
+            z_row = lower + (upper - lower) * u
+        else:
+            z_row = grid_z
+
+        norm = jnp.sqrt(jnp.sum(d_t * d_t, axis=0, keepdims=True))  # (1, TR)
+        norm_rep = pltpu.repeat(norm, S, axis=1)
+        z_next = pltpu.roll(z_row, shift=P - TR, axis=1)
+        delta = jnp.where(s_row == S - 1, DELTA_INF, z_next - z_row) * norm_rep
+
+        # ---------------- forward ----------------
+        od = pltpu.repeat(jnp.concatenate([o_t, d_t], axis=0), S, axis=1)
+        pts = od[0:3] + od[3:6] * z_row  # (3, P)
+        theta = jnp.dot(B, pts, preferred_element_type=f32, precision=HI)
+        enc_c = jnp.concatenate(
+            [pts, jnp.sin(theta), jnp.cos(theta)], axis=0
+        ).astype(compute_dtype)  # (E, P)
+
+        acts = [enc_c]  # acts[i] = post-activation output of layer i-1
+        for i in range(n_layers):
+            h_in = acts[i] if i != skip_at else jnp.concatenate(
+                [acts[i], enc_c], axis=0
+            )
+            acts.append(jnp.maximum(dense(h_in, i), 0.0).astype(compute_dtype))
+        head_in = (
+            acts[n_layers]
+            if n_layers != skip_at
+            else jnp.concatenate([acts[n_layers], enc_c], axis=0)
         )
-        acts.append(jnp.maximum(dense(h_in, i), 0.0).astype(compute_dtype))
-    head_in = (
-        acts[n_layers]
-        if n_layers != skip_at
-        else jnp.concatenate([acts[n_layers], enc_c], axis=0)
-    )
-    head = dense(head_in, n_layers)  # (4, P)
-    rgb = jax.nn.sigmoid(head[0:3])
-    sigma = jnp.maximum(head[3:4], 0.0)
+        head = dense(head_in, n_layers)  # (4, P)
+        rgb = jax.nn.sigmoid(head[0:3])
+        sigma = jnp.maximum(head[3:4], 0.0)
 
-    one_m = jnp.exp(-sigma * delta) + TRANS_EPS  # (1, P)
-    alpha = 1.0 - (one_m - TRANS_EPS)
+        one_m = jnp.exp(-sigma * delta) + TRANS_EPS  # (1, P)
+        alpha = 1.0 - (one_m - TRANS_EPS)
 
-    x = one_m
-    dd = 1
-    while dd < S:
-        x = x * jnp.where(s_row >= dd, pltpu.roll(x, shift=dd * TR, axis=1), 1.0)
-        dd *= 2
-    trans = jnp.where(s_row >= 1, pltpu.roll(x, shift=TR, axis=1), 1.0)
+        # Dense-layout prefix product (one ray per column).
+        x = one_m.reshape(S, TR)
+        dd = 1
+        while dd < S:
+            x = x * jnp.where(row >= dd, pltpu.roll(x, shift=dd, axis=0), 1.0)
+            dd *= 2
+        trans = jnp.where(row >= 1, pltpu.roll(x, shift=1, axis=0), 1.0).reshape(1, P)
 
-    w = alpha * trans  # (1, P)
-    A = jnp.concatenate([rgb * w, w], axis=0)  # (4, P)
-    n = P
-    blocks = S
-    while blocks > 1 and blocks % 2 == 0:
-        n //= 2
-        A = A[:, :n] + A[:, n:]
-        blocks //= 2
-    if blocks > 1:
-        A = sum(A[:, k * TR : (k + 1) * TR] for k in range(blocks))
-    comp = A[0:3]
-    acc = A[3:4]
-    if white_bkgd:
-        comp = comp + (1.0 - acc)
-    resid = comp - t_ref[:]  # (3, TR)
+        w = alpha * trans  # (1, P)
+        wrgb = rgb * w  # (3, P)
+        comp = jnp.concatenate(
+            [
+                jnp.sum(wrgb[c : c + 1].reshape(S, TR), axis=0, keepdims=True)
+                for c in range(3)
+            ],
+            axis=0,
+        )  # (3, TR)
+        acc = jnp.sum(w.reshape(S, TR), axis=0, keepdims=True)  # (1, TR)
+        if white_bkgd:
+            comp = comp + (1.0 - acc)
+        resid = comp - tgt  # (3, TR)
+        loss = jnp.sum(resid * resid) * inv_n
 
-    @pl.when(first)
-    def _():
-        loss_ref[0, 0] = 0.0
+        # ---------------- backward ----------------
+        g_comp = (2.0 * inv_n) * resid  # (3, TR)
+        g3 = pltpu.repeat(g_comp, S, axis=1)  # (3, P)
+        g_rgb = g3 * w
+        g_w = jnp.sum(g3 * rgb, axis=0, keepdims=True)  # (1, P)
+        if white_bkgd:
+            g_acc = -jnp.sum(g_comp, axis=0, keepdims=True)  # (1, TR)
+            g_w = g_w + pltpu.repeat(g_acc, S, axis=1)
 
-    loss_ref[0, 0] = loss_ref[0, 0] + jnp.sum(resid * resid) * inv_n
+        g_alpha = g_w * trans
+        g_trans = g_w * alpha
+        # Dense-layout suffix sum (the scan's transpose); roll by -k ==
+        # roll by S-k on sublanes.
+        y = (g_trans * trans).reshape(S, TR)
+        dd = 1
+        while dd < S:
+            y = y + jnp.where(
+                row <= S - 1 - dd, pltpu.roll(y, shift=S - dd, axis=0), 0.0
+            )
+            dd *= 2
+        suf = jnp.where(
+            row <= S - 2, pltpu.roll(y, shift=S - 1, axis=0), 0.0
+        ).reshape(1, P)
+        g_one_m = suf / one_m - g_alpha
+        g_sigma = g_one_m * (-(delta) * (one_m - TRANS_EPS))
 
-    # ---------------- backward ----------------
-    g_comp = (2.0 * inv_n) * resid  # (3, TR)
-    g3 = pltpu.repeat(g_comp, S, axis=1)  # (3, P)
-    g_rgb = g3 * w
-    g_w = jnp.sum(g3 * rgb, axis=0, keepdims=True)  # (1, P)
-    if white_bkgd:
-        g_acc = -jnp.sum(g_comp, axis=0, keepdims=True)  # (1, TR)
-        g_w = g_w + pltpu.repeat(g_acc, S, axis=1)
+        g_head = jnp.concatenate(
+            [g_rgb * rgb * (1.0 - rgb), g_sigma * (sigma > 0)], axis=0
+        )  # (4, P)
 
-    g_alpha = g_w * trans
-    g_trans = g_w * alpha
-    # Segmented suffix sum of T = g_trans * trans (exclusive from above).
-    # pltpu.roll requires non-negative shifts: roll by -k == roll by P-k.
-    T = g_trans * trans
-    y = T
-    dd = 1
-    while dd < S:
-        y = y + jnp.where(
-            s_row <= S - 1 - dd, pltpu.roll(y, shift=P - dd * TR, axis=1), 0.0
-        )
-        dd *= 2
-    suf = jnp.where(s_row <= S - 2, pltpu.roll(y, shift=P - TR, axis=1), 0.0)
-    g_one_m = suf / one_m - g_alpha
-    g_sigma = g_one_m * (-(delta) * (one_m - TRANS_EPS))
+        def dense_in(i):
+            return acts[i] if i != skip_at else jnp.concatenate(
+                [acts[i], enc_c], axis=0
+            )
 
-    g_head = jnp.concatenate(
-        [g_rgb * rgb * (1.0 - rgb), g_sigma * (sigma > 0)], axis=0
-    )  # (4, P)
+        grads = [None] * (2 * (n_layers + 1))
 
-    def accum(ref, val):
-        @pl.when(first)
-        def _():
-            ref[:] = jnp.zeros_like(ref)
+        def dense_bwd(g_c, i):
+            """Record gw/gb for layer i; return upstream grad in
+            compute dtype. The skip layer's concat'd encoding gradient
+            is never materialized (weight sliced to `hidden` rows)."""
+            grads[2 * i] = jax.lax.dot_general(
+                g_c, dense_in(i), dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=f32,
+            )
+            grads[2 * i + 1] = jnp.sum(g_c.astype(f32), axis=1, keepdims=True)
+            wmat = wb[2 * i][:]
+            w_up = wmat if i != skip_at else wmat[:, :hidden]
+            return jax.lax.dot_general(
+                w_up.astype(compute_dtype), g_c,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            ).astype(compute_dtype)
 
-        ref[:] += val
+        g = dense_bwd(g_head.astype(compute_dtype), n_layers)
+        for i in reversed(range(n_layers)):
+            # relu mask from the stored post-activation (f32 compare:
+            # Mosaic lacks bf16 vector comparisons)
+            g = g * (acts[i + 1].astype(f32) > 0).astype(compute_dtype)
+            g = dense_bwd(g, i)
+        return loss, grads
 
-    hidden = wb[2 * (n_layers - 1)][:].shape[0] if n_layers else 0
+    # Static tile loop with register-resident accumulators: weights are
+    # fetched once, outputs written once.
+    total_loss = None
+    total_grads = None
+    for ti in range(n_tiles):
+        loss, grads = tile_grads(ti)
+        if total_loss is None:
+            total_loss, total_grads = loss, grads
+        else:
+            total_loss = total_loss + loss
+            total_grads = [a + b for a, b in zip(total_grads, grads)]
 
-    def dense_in(i):
-        """Rebuild layer i's dense input (transient concat at the skip)."""
-        return acts[i] if i != skip_at else jnp.concatenate(
-            [acts[i], enc_c], axis=0
-        )
-
-    def dense_bwd(g_c, i):
-        """Accumulate gw/gb for layer i; return upstream gradient in
-        compute dtype (the bf16 grad chain matches bf16-matmul training
-        precision and halves transient VMEM).
-
-        The skip layer's concat'd encoding gradient is never
-        materialized: the upstream dot uses the weight sliced to its
-        first `hidden` input rows (the encoding has no parameters).
-        """
-        gw = jax.lax.dot_general(
-            g_c, dense_in(i), dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=f32,
-        )  # (out, in)
-        accum(g_refs[2 * i], gw)
-        accum(
-            g_refs[2 * i + 1],
-            jnp.sum(g_c.astype(f32), axis=1, keepdims=True),
-        )
-        w = wb[2 * i][:]
-        w_up = w if i != skip_at else w[:, :hidden]
-        return jax.lax.dot_general(
-            w_up.astype(compute_dtype), g_c,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        ).astype(compute_dtype)
-
-    g = dense_bwd(g_head.astype(compute_dtype), n_layers)
-    for i in reversed(range(n_layers)):
-        # relu mask from the stored post-activation of layer i
-        # (cast to f32: Mosaic lacks bf16 vector comparisons)
-        g = g * (acts[i + 1].astype(f32) > 0).astype(compute_dtype)
-        g = dense_bwd(g, i)
-    # g is d/d enc — unused (encoding has no parameters).
+    loss_ref[0, 0] = total_loss
+    for ref, g in zip(g_refs, total_grads):
+        ref[:] = g
 
 
 def fused_loss_grads(
@@ -309,6 +302,8 @@ def fused_loss_grads(
 
     kernel = functools.partial(
         _fused_train_kernel,
+        TR=tile_r,
+        n_tiles=n_tiles,
         S=S,
         num_freqs=num_freqs,
         n_layers=n_layers,
@@ -321,17 +316,14 @@ def fused_loss_grads(
         compute_dtype=model_cfg.compute_dtype,
     )
 
-    ray_spec = lambda rows: pl.BlockSpec(
-        (rows, tile_r), lambda i: (0, i), memory_space=pltpu.VMEM
-    )
-    seed_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     out_shapes = [jax.ShapeDtypeStruct((1, 1), jnp.float32)]  # loss
     out_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     for wset in wbs:
         out_shapes.append(jax.ShapeDtypeStruct(wset.shape, jnp.float32))
-        out_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        out_specs.append(full())
 
     pts = R * S
     mac = sum(int(np.prod(w.shape)) for w in wbs[::2])
@@ -343,14 +335,12 @@ def fused_loss_grads(
 
     outs = pl.pallas_call(
         lambda sd, o, d, t, *rest: kernel(sd, o, d, t, *rest),
-        grid=(n_tiles,),
-        in_specs=[seed_spec, ray_spec(3), ray_spec(3), ray_spec(3)]
-        + [full() for _ in wbs],
+        in_specs=[seed_spec, full(), full(), full()] + [full() for _ in wbs],
         out_specs=out_specs,
         out_shape=out_shapes,
         cost_estimate=cost,
         # fwd+bwd activations for an 8192-point tile exceed the 16MB
-        # default scoped-vmem budget; v5e has 128MiB physical VMEM.
+        # default scoped-vmem budget; v5e has far more physical VMEM.
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(seed_arr, o_t, d_t, t_t, *wbs)

@@ -55,6 +55,35 @@ def get_rays(H: int, W: int, focal, c2w: jax.Array):
     return rays_o, rays_d
 
 
+def ndc_rays(H: int, W: int, focal, near, rays_o: jax.Array, rays_d: jax.Array):
+    """Shift rays to NDC space (forward-facing scenes, NeRF paper
+    appendix C). No reference counterpart (the reference handles only
+    inward-facing 360 scenes) — capability upgrade for LLFF-style data.
+
+    After shifting origins to the z=-near plane, the projective map
+    sends the viewing frustum to the [-1,1]^3 cube so uniform samples
+    in t in [0,1] correspond to uniform DISPARITY in world space.
+    """
+    rays_o = jnp.asarray(rays_o, jnp.float32)
+    rays_d = jnp.asarray(rays_d, jnp.float32)
+    # Shift origins to the near plane.
+    t = -(near + rays_o[..., 2]) / rays_d[..., 2]
+    rays_o = rays_o + t[..., None] * rays_d
+
+    ox, oy, oz = rays_o[..., 0], rays_o[..., 1], rays_o[..., 2]
+    dx, dy, dz = rays_d[..., 0], rays_d[..., 1], rays_d[..., 2]
+    o0 = -focal / (0.5 * W) * ox / oz
+    o1 = -focal / (0.5 * H) * oy / oz
+    o2 = 1.0 + 2.0 * near / oz
+    d0 = -focal / (0.5 * W) * (dx / dz - ox / oz)
+    d1 = -focal / (0.5 * H) * (dy / dz - oy / oz)
+    d2 = -2.0 * near / oz
+    return (
+        jnp.stack([o0, o1, o2], axis=-1),
+        jnp.stack([d0, d1, d2], axis=-1),
+    )
+
+
 def get_rays_for_poses(H: int, W: int, focal, c2ws: jax.Array):
     """Batched ray generation for a stack of poses.
 
