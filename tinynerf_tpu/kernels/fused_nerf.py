@@ -134,24 +134,13 @@ def _nerf_kernel(
 
     one_m = jnp.exp(-sigma * delta) + TRANS_EPS
     alpha = 1.0 - (one_m - TRANS_EPS)
-    x = one_m
-    dd = 1
-    while dd < S:
-        x = x * jnp.where(s_row >= dd, pltpu.roll(x, shift=dd * TR, axis=1), 1.0)
-        dd *= 2
-    trans = jnp.where(s_row >= 1, pltpu.roll(x, shift=TR, axis=1), 1.0)
-    w = alpha * trans  # (1, P)
+    from tinynerf_tpu.kernels.scans import prefix_product_exclusive, sum_over_samples
 
-    A = jnp.concatenate([rgb * w, w], axis=0)  # (4, P)
-    n = P
-    blocks = S
-    while blocks > 1 and blocks % 2 == 0:
-        n //= 2
-        A = A[:, :n] + A[:, n:]
-        blocks //= 2
-    if blocks > 1:
-        A = sum(A[:, k * TR : (k + 1) * TR] for k in range(blocks))
-    out_ref[:] = A  # (4, TR): comp_raw rgb + acc
+    trans = prefix_product_exclusive(one_m, S, TR)
+    w = alpha * trans  # (1, P)
+    out_ref[:] = sum_over_samples(
+        jnp.concatenate([rgb * w, w], axis=0), S, TR
+    )  # (4, TR): comp_raw rgb + acc
 
     if emit_weights:
         w_ref[:] = w.reshape(S, TR)  # lane-split back to (S, TR)

@@ -149,23 +149,15 @@ def _nerf_train_kernel(
     # ---- composite ----
     one_m = jnp.exp(-sigma * delta) + TRANS_EPS
     alpha = 1.0 - (one_m - TRANS_EPS)
-    x = one_m
-    dd = 1
-    while dd < S:
-        x = x * jnp.where(s_row >= dd, pltpu.roll(x, shift=dd * TR, axis=1), 1.0)
-        dd *= 2
-    trans = jnp.where(s_row >= 1, pltpu.roll(x, shift=TR, axis=1), 1.0)
-    w = alpha * trans
+    from tinynerf_tpu.kernels.scans import (
+        prefix_product_exclusive,
+        suffix_sum_exclusive,
+        sum_over_samples,
+    )
 
-    A = jnp.concatenate([rgb * w, w], axis=0)
-    n = P
-    blocks = S
-    while blocks > 1 and blocks % 2 == 0:
-        n //= 2
-        A = A[:, :n] + A[:, n:]
-        blocks //= 2
-    if blocks > 1:
-        A = sum(A[:, k * TR : (k + 1) * TR] for k in range(blocks))
+    trans = prefix_product_exclusive(one_m, S, TR)
+    w = alpha * trans
+    A = sum_over_samples(jnp.concatenate([rgb * w, w], axis=0), S, TR)
     comp = A[0:3]
     acc = A[3:4]
     if white_bkgd:
@@ -191,15 +183,7 @@ def _nerf_train_kernel(
         g_w = g_w + pltpu.repeat(-jnp.sum(g_comp, axis=0, keepdims=True), S, axis=1)
     g_alpha = g_w * trans
     g_trans = g_w * alpha
-    T = g_trans * trans
-    y = T
-    dd = 1
-    while dd < S:
-        y = y + jnp.where(
-            s_row <= S - 1 - dd, pltpu.roll(y, shift=P - dd * TR, axis=1), 0.0
-        )
-        dd *= 2
-    suf = jnp.where(s_row <= S - 2, pltpu.roll(y, shift=P - TR, axis=1), 0.0)
+    suf = suffix_sum_exclusive(g_trans * trans, S, TR)
     g_one_m = suf / one_m - g_alpha
     g_sigma = g_one_m * (-(delta) * (one_m - TRANS_EPS))
 

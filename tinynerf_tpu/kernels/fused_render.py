@@ -150,31 +150,15 @@ def _fused_kernel(
     one_m = jnp.exp(-sigma * delta) + TRANS_EPS  # (1, P)
     alpha = 1.0 - (one_m - TRANS_EPS)
 
-    # Segmented exclusive prefix product over each ray's samples
-    # (stride TR apart in sample-major order): Hillis-Steele with lane
-    # rolls of d*TR, log2(S) rounds, exact f32. Wrapped lanes have
-    # s_row < d and are masked to the identity.
-    x = one_m
-    d = 1
-    while d < S:
-        x = x * jnp.where(s_row >= d, pltpu.roll(x, shift=d * TR, axis=1), 1.0)
-        d *= 2
-    trans = jnp.where(s_row >= 1, pltpu.roll(x, shift=TR, axis=1), 1.0)
+    # Per-ray exclusive transmittance + reduction in the dense (S, TR)
+    # layout (kernels/scans.py).
+    from tinynerf_tpu.kernels.scans import prefix_product_exclusive, sum_over_samples
 
+    trans = prefix_product_exclusive(one_m, S, TR)
     w = alpha * trans  # (1, P)
-    A = jnp.concatenate([rgb * w, w], axis=0)  # (4, P)
-    # Per-ray reduce over samples = sum of the S lane-blocks of width
-    # TR: lane-halving adder tree when S is a power of two (block
-    # boundaries stay 128-aligned), else a static block-sum loop.
-    n = P
-    s_blocks = S
-    while s_blocks > 1 and s_blocks % 2 == 0:
-        n //= 2
-        A = A[:, :n] + A[:, n:]
-        s_blocks //= 2
-    if s_blocks > 1:
-        A = sum(A[:, k * TR : (k + 1) * TR] for k in range(s_blocks))
-    out_ref[:] = A  # (4, TR)
+    out_ref[:] = sum_over_samples(
+        jnp.concatenate([rgb * w, w], axis=0), S, TR
+    )  # (4, TR)
 
 
 def _prepare_weights(params, num_freqs: int, skip_at: int):

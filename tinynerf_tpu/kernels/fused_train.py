@@ -44,6 +44,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tinynerf_tpu.kernels.fused_render import _encode_permutation, _iota2
+from tinynerf_tpu.kernels.scans import (
+    prefix_product_exclusive,
+    suffix_sum_exclusive,
+    sum_over_samples,
+)
 from tinynerf_tpu.models.tinynerf import TinyNeRFConfig
 from tinynerf_tpu.ops.volume import DELTA_INF, TRANS_EPS
 
@@ -82,7 +87,6 @@ def _fused_train_kernel(
     hidden = wb[2 * (n_layers - 1)][:].shape[0] if n_layers else 0
 
     s_row = _iota2((1, P), 1) // TR  # sample slot (sample-major)
-    row = _iota2((S, TR), 0)
     h_bin = (far - near) / (S - 1)
     grid_z = near + h_bin * s_row.astype(f32)  # (1, P)
     r_ids = _iota2((3 * L, 3), 0)
@@ -148,24 +152,11 @@ def _fused_train_kernel(
         one_m = jnp.exp(-sigma * delta) + TRANS_EPS  # (1, P)
         alpha = 1.0 - (one_m - TRANS_EPS)
 
-        # Dense-layout prefix product (one ray per column).
-        x = one_m.reshape(S, TR)
-        dd = 1
-        while dd < S:
-            x = x * jnp.where(row >= dd, pltpu.roll(x, shift=dd, axis=0), 1.0)
-            dd *= 2
-        trans = jnp.where(row >= 1, pltpu.roll(x, shift=1, axis=0), 1.0).reshape(1, P)
-
+        trans = prefix_product_exclusive(one_m, S, TR)
         w = alpha * trans  # (1, P)
-        wrgb = rgb * w  # (3, P)
-        comp = jnp.concatenate(
-            [
-                jnp.sum(wrgb[c : c + 1].reshape(S, TR), axis=0, keepdims=True)
-                for c in range(3)
-            ],
-            axis=0,
-        )  # (3, TR)
-        acc = jnp.sum(w.reshape(S, TR), axis=0, keepdims=True)  # (1, TR)
+        A4 = sum_over_samples(jnp.concatenate([rgb * w, w], axis=0), S, TR)
+        comp = A4[0:3]  # (3, TR)
+        acc = A4[3:4]  # (1, TR)
         if white_bkgd:
             comp = comp + (1.0 - acc)
         resid = comp - tgt  # (3, TR)
@@ -182,18 +173,7 @@ def _fused_train_kernel(
 
         g_alpha = g_w * trans
         g_trans = g_w * alpha
-        # Dense-layout suffix sum (the scan's transpose); roll by -k ==
-        # roll by S-k on sublanes.
-        y = (g_trans * trans).reshape(S, TR)
-        dd = 1
-        while dd < S:
-            y = y + jnp.where(
-                row <= S - 1 - dd, pltpu.roll(y, shift=S - dd, axis=0), 0.0
-            )
-            dd *= 2
-        suf = jnp.where(
-            row <= S - 2, pltpu.roll(y, shift=S - 1, axis=0), 0.0
-        ).reshape(1, P)
+        suf = suffix_sum_exclusive(g_trans * trans, S, TR)
         g_one_m = suf / one_m - g_alpha
         g_sigma = g_one_m * (-(delta) * (one_m - TRANS_EPS))
 
