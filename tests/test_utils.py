@@ -160,3 +160,27 @@ class TestCheckpointRotation:
         assert "ckpt.npz" in files
         hist = [f for f in files if ".step" in f]
         assert hist == ["ckpt.npz.step00000030.npz", "ckpt.npz.step00000040.npz"]
+
+
+class TestSSIM:
+    def test_identical_is_one(self):
+        from tinynerf_tpu.utils.metrics import ssim
+
+        img = jnp.asarray(np.random.RandomState(0).rand(32, 32, 3), jnp.float32)
+        np.testing.assert_allclose(float(ssim(img, img)), 1.0, atol=1e-5)
+
+    def test_noise_lowers_ssim_more_than_brightness(self):
+        from tinynerf_tpu.utils.metrics import ssim
+
+        rng = np.random.RandomState(0)
+        img = jnp.asarray(rng.rand(32, 32, 3) * 0.5 + 0.25, jnp.float32)
+        noisy = jnp.clip(img + jnp.asarray(rng.randn(32, 32, 3) * 0.2), 0, 1)
+        s_noise = float(ssim(img, noisy))
+        assert 0.0 < s_noise < 0.9
+
+    def test_jit_compatible(self):
+        from tinynerf_tpu.utils.metrics import ssim
+
+        f = jax.jit(ssim)
+        img = jnp.ones((16, 16, 3)) * 0.5
+        assert np.isfinite(float(f(img, img * 0.9)))
