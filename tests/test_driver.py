@@ -102,3 +102,22 @@ def test_unknown_model_rejected(tiny_npz, tmp_path):
 
     with pytest.raises(ValueError):
         train.main(_cfg(tiny_npz, tmp_path, model="bogus"))
+
+
+def test_eval_cli_from_checkpoint(tiny_npz, tmp_path):
+    from tinynerf_tpu import eval as eval_mod, train
+
+    cfg = _cfg(tiny_npz, tmp_path, iters=20, preview_every=20, ckpt_every=20)
+    train.main(cfg)
+    ecfg = eval_mod.EvalConfig(
+        ckpt_path=cfg.ckpt_path,
+        data_path=tiny_npz,
+        out_dir=str(tmp_path / "eval"),
+        views=3,
+        n_samples=8,
+        chunk=128,
+        save_images=True,
+    )
+    res = eval_mod.main(ecfg)
+    assert np.isfinite(res["psnr_mean"]) and 0 <= res["ssim_mean"] <= 1
+    assert os.path.exists(str(tmp_path / "eval" / "metrics.json"))

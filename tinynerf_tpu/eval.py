@@ -1,0 +1,81 @@
+"""Evaluation driver: `python -m tinynerf_tpu.eval --ckpt-path ...`
+
+Renders a set of dataset views from a checkpoint and reports per-view
+and aggregate PSNR + SSIM (the reference has no evaluation tool — it
+reports only the train-batch PSNR in its tqdm bar, src/train.py:130).
+Optionally saves the rendered images next to the metrics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from tinynerf_tpu.data import ensure_data
+from tinynerf_tpu.evaluation import evaluate_views
+from tinynerf_tpu.utils.cli import cli
+from tinynerf_tpu.utils.image_io import write_png
+from tinynerf_tpu.utils.model_io import load_model_and_renderer
+
+
+@dataclass
+class EvalConfig:
+    ckpt_path: str = "checkpoints/tinynerf_latest.npz"
+    data_path: str = "data/tiny_nerf_data.npz"
+    out_dir: str = "outputs/eval"
+    views: int = 8  # number of evenly spaced views (0 = all)
+    first_view: int = 0  # start index (e.g. N-holdout for held-out eval)
+    n_samples: int = 64
+    near: float = 2.0
+    far: float = 6.0
+    chunk: int = 8192
+    fused: bool = False
+    save_images: bool = True
+    allow_synthetic: bool = True
+
+
+def main(cfg: EvalConfig = EvalConfig()) -> dict:
+    from tinynerf_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    d = ensure_data(cfg.data_path, allow_synthetic=cfg.allow_synthetic)
+    images = jnp.asarray(d["images"])
+    poses = jnp.asarray(d["poses"])
+    focal = float(d["focal"])
+    n_images, H, W, _ = images.shape
+
+    params, renderer, meta = load_model_and_renderer(
+        cfg.ckpt_path, H=H, W=W, focal=focal, n_samples=cfg.n_samples,
+        near=cfg.near, far=cfg.far, chunk=cfg.chunk, fused=cfg.fused,
+    )
+    print(f"[ckpt] {cfg.ckpt_path} (model {meta['model']}, step {meta['step']})")
+
+    pool = list(range(cfg.first_view, n_images))
+    if cfg.views and cfg.views < len(pool):
+        stride = max(1, len(pool) // cfg.views)
+        indices = pool[::stride][: cfg.views]
+    else:
+        indices = pool
+    res = evaluate_views(renderer, params, images, poses, indices)
+    print(
+        f"[eval] {len(indices)} views: PSNR mean {res['psnr_mean']:.2f} dB "
+        f"(min {res['psnr_min']:.2f} / max {res['psnr_max']:.2f}), "
+        f"SSIM mean {res['ssim_mean']:.4f}"
+    )
+    os.makedirs(cfg.out_dir, exist_ok=True)
+    with open(f"{cfg.out_dir}/metrics.json", "w") as f:
+        json.dump({"indices": indices, **res}, f, indent=2)
+    if cfg.save_images:
+        for i in indices:
+            write_png(f"{cfg.out_dir}/view_{i:03d}.png", np.asarray(renderer(params, poses[i])))
+        print(f"[eval] wrote renders + metrics.json to {cfg.out_dir}")
+    return res
+
+
+if __name__ == "__main__":
+    main(cli(EvalConfig, description="Evaluate a checkpoint: PSNR/SSIM over views"))

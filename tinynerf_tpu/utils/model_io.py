@@ -1,0 +1,80 @@
+"""Checkpoint-driven model reconstruction shared by the inference CLIs.
+
+Rebuilds the right model family (tinynerf or nerf) and a matching
+jitted image renderer from a checkpoint's stored metadata — the
+reference's make_gif.py:19 pattern ("arch hyperparams from ckpt['cfg']
+with fallback defaults") generalized to both model kinds.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Tuple
+
+import jax
+import numpy as np
+
+
+def load_model_and_renderer(
+    ckpt_path: str,
+    *,
+    H: int,
+    W: int,
+    focal: float,
+    n_samples: int = 64,
+    near: float = 2.0,
+    far: float = 6.0,
+    chunk: int = 8192,
+    fused: bool = False,
+):
+    """-> (params, renderer, meta) with renderer: (params, pose) -> image."""
+    from tinynerf_tpu.models.tinynerf import TinyNeRFConfig
+    from tinynerf_tpu.ops.encoding import encoding_dim
+    from tinynerf_tpu.render import make_hierarchical_image_renderer, make_image_renderer
+    from tinynerf_tpu.training import TrainSettings, init_train_state
+    from tinynerf_tpu.utils import checkpoint as ckpt_lib
+
+    with np.load(ckpt_path, allow_pickle=False) as z:
+        meta = json.loads(str(z["meta"]))["meta"]
+    mcfg = meta.get("cfg", {"hidden": 128, "depth": 4, "skip_at": 2, "num_freqs": 10})
+    num_freqs = mcfg.get("num_freqs", 10)
+    model_kind = meta.get("model", "tinynerf")
+
+    if model_kind == "nerf":
+        from tinynerf_tpu.models.nerf import NeRFConfig, init_nerf
+
+        ncfg = NeRFConfig(
+            num_freqs=num_freqs,
+            num_freqs_dir=mcfg.get("num_freqs_dir", 4),
+            hidden=mcfg["hidden"],
+            depth=mcfg["depth"],
+            skip_at=mcfg["skip_at"],
+            rgb_hidden=mcfg.get("rgb_hidden", 64),
+        )
+        settings = TrainSettings(num_freqs=num_freqs, n_samples=n_samples)
+        params_t, opt_t = init_train_state(
+            jax.random.PRNGKey(0), settings, init_fn=lambda k: init_nerf(k, ncfg)
+        )
+        renderer = make_hierarchical_image_renderer(
+            H=H, W=W, focal=focal, chunk=min(chunk, 4096),
+            n_coarse=n_samples, n_fine=mcfg.get("n_fine", 64),
+            near=near, far=far, nerf_cfg=ncfg, use_fused=fused,
+        )
+    else:
+        model_cfg = TinyNeRFConfig(
+            in_dim=encoding_dim(num_freqs),
+            hidden=mcfg["hidden"],
+            depth=mcfg["depth"],
+            skip_at=mcfg["skip_at"],
+        )
+        settings = TrainSettings(num_freqs=num_freqs, model_cfg=model_cfg)
+        params_t, opt_t = init_train_state(jax.random.PRNGKey(0), settings)
+        renderer = make_image_renderer(
+            H=H, W=W, focal=focal, chunk=chunk, n_samples=n_samples,
+            near=near, far=far, num_freqs=num_freqs, model_cfg=model_cfg,
+            use_fused=fused,
+        )
+    params, _, step, _ = ckpt_lib.restore_checkpoint(ckpt_path, params_t, opt_t)
+    meta["step"] = step
+    meta["model"] = model_kind
+    return params, renderer, meta
