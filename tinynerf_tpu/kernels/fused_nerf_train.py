@@ -28,7 +28,7 @@ asserted on the deterministic-depth path (tests/test_fused_nerf_train.py).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

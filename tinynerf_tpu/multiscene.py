@@ -16,7 +16,7 @@ K-scene batched run reproduces K independent single-scene runs exactly
 
 from __future__ import annotations
 
-import functools
+
 from typing import Optional
 
 import jax

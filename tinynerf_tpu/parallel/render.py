@@ -8,7 +8,7 @@ cross-device traffic until the final gather).
 
 from __future__ import annotations
 
-import functools
+
 from typing import Optional
 
 import jax

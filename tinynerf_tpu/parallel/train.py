@@ -20,7 +20,7 @@ collectives pipeline with compute and there is no per-step dispatch.
 
 from __future__ import annotations
 
-import functools
+
 from typing import Optional
 
 import jax

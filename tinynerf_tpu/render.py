@@ -16,7 +16,6 @@ un-jittered stratified samples, and chunking never changes the result
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ with fallback defaults") generalized to both model kinds.
 from __future__ import annotations
 
 import json
-from typing import Tuple
+
 
 import jax
 import numpy as np
