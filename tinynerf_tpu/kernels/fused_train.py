@@ -103,8 +103,13 @@ def _fused_train_kernel(
         )
 
     def tile_grads(ti):
-        """One ray tile: forward + backward; returns (loss, [gw/gb...])."""
-        sl = slice(ti * TR, (ti + 1) * TR)
+        """One ray tile: forward + backward; returns (loss, [gw/gb...]).
+
+        ti may be a traced loop index: slices use pl.ds with a
+        multiple-of hint so Mosaic keeps aligned layouts.
+        """
+        start = pl.multiple_of(ti * TR, TR) if not isinstance(ti, int) else ti * TR
+        sl = pl.ds(start, TR)
         o_t, d_t, tgt = o_ref[:, sl], d_ref[:, sl], t_ref[:, sl]
 
         # Stratified depths in-register; jitter via the TPU PRNG in the
@@ -213,17 +218,32 @@ def _fused_train_kernel(
             g = dense_bwd(g, i)
         return loss, grads
 
-    # Static tile loop with register-resident accumulators: weights are
-    # fetched once, outputs written once.
-    total_loss = None
-    total_grads = None
-    for ti in range(n_tiles):
-        loss, grads = tile_grads(ti)
-        if total_loss is None:
-            total_loss, total_grads = loss, grads
-        else:
-            total_loss = total_loss + loss
-            total_grads = [a + b for a, b in zip(total_grads, grads)]
+    # Tile loop with register/VMEM-resident accumulators: weights are
+    # fetched once, outputs written once. Small tile counts unroll
+    # (lets the scheduler interleave); large ones use lax.fori_loop —
+    # unrolling 32+ tile bodies blows Mosaic compile time up by
+    # minutes while running no faster.
+    if n_tiles <= 16:
+        total_loss = None
+        total_grads = None
+        for ti in range(n_tiles):
+            loss, grads = tile_grads(ti)
+            if total_loss is None:
+                total_loss, total_grads = loss, grads
+            else:
+                total_loss = total_loss + loss
+                total_grads = [a + b for a, b in zip(total_grads, grads)]
+    else:
+        loss0, grads0 = tile_grads(0)
+
+        def body(ti, carry):
+            tot_l, tot_g = carry
+            loss, grads = tile_grads(ti)
+            return tot_l + loss, [a + b for a, b in zip(tot_g, grads)]
+
+        total_loss, total_grads = jax.lax.fori_loop(
+            1, n_tiles, body, (loss0, list(grads0))
+        )
 
     loss_ref[0, 0] = total_loss
     for ref, g in zip(g_refs, total_grads):
