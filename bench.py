@@ -107,8 +107,10 @@ def main() -> None:
     )
 
     on_tpu = jax.default_backend() == "tpu"
-    train_rps_fused = step_time_fused = None
+    train_rps_fused = step_time_fused = train_rps_peak = None
     if on_tpu:
+        import dataclasses
+
         from tinynerf_tpu.kernels.fused_train import make_fused_grad_fn
 
         params_f, opt_state_f = init_train_state(jax.random.PRNGKey(0), settings)
@@ -117,6 +119,14 @@ def main() -> None:
         )
         train_rps_fused, step_time_fused = _measure_train_rays_per_sec(
             params_f, opt_state_f, block_f, data, cfg.n_rand, block_size
+        )
+
+        # Peak throughput at a large batch (fixed per-step cost amortized).
+        big = dataclasses.replace(settings, n_rand=16384)
+        params_b, opt_state_b = init_train_state(jax.random.PRNGKey(0), big)
+        block_b = make_train_block(big, 20, grad_fn=make_fused_grad_fn(big))
+        train_rps_peak, _ = _measure_train_rays_per_sec(
+            params_b, opt_state_b, block_b, data, 16384, 20, reps=5
         )
 
     params2, _ = init_train_state(jax.random.PRNGKey(0), settings)
@@ -153,6 +163,9 @@ def main() -> None:
             "train_rays_per_sec_xla": round(train_rps, 1),
             "train_rays_per_sec_fused_kernel": (
                 round(train_rps_fused, 1) if train_rps_fused else None
+            ),
+            "train_rays_per_sec_peak_16384batch": (
+                round(train_rps_peak, 1) if train_rps_peak else None
             ),
             "render_rays_per_sec_per_chip": round(render_rps, 1),
             "render_rays_per_sec_fused_kernel": (
