@@ -101,3 +101,36 @@ def test_pixel_parity_fused_kernel_vs_torch():
         )
     )
     np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+def test_torch_checkpoint_import_roundtrip(tmp_path):
+    """Export params to the reference's .pth schema, re-import, and
+    verify the renders are identical — users of the reference can carry
+    their trained checkpoints over."""
+    import torch
+
+    from tinynerf_tpu.utils.torch_import import (
+        import_torch_checkpoint,
+        params_to_torch_state_dict,
+    )
+
+    cfg = TinyNeRFConfig(compute_dtype=jnp.float32)
+    params, _ = init_train_state(jax.random.PRNGKey(11), TrainSettings(model_cfg=cfg))
+    state = {k: torch.from_numpy(v) for k, v in params_to_torch_state_dict(params).items()}
+    path = str(tmp_path / "ref_style.pth")
+    torch.save(
+        {"model": state, "step": 777, "in_dim": 63,
+         "cfg": {"hidden": 128, "depth": 4, "skip_at": 2}},
+        path,
+    )
+    params2, meta = import_torch_checkpoint(path)
+    assert meta["step"] == 777 and meta["cfg"]["hidden"] == 128
+
+    rng = np.random.RandomState(4)
+    ro = jnp.asarray((rng.randn(50, 3) * 0.1).astype(np.float32))
+    rd = rng.randn(50, 3).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    rd = jnp.asarray(rd)
+    a = np.asarray(render_rays(params, ro, rd, n_samples=16, model_cfg=cfg))
+    b = np.asarray(render_rays(params2, ro, rd, n_samples=16, model_cfg=cfg))
+    np.testing.assert_array_equal(a, b)
