@@ -28,10 +28,15 @@ from tinynerf_tpu.parallel.mesh import DATA_AXIS, make_mesh, mesh_axes
 from tinynerf_tpu.training import TrainSettings, _step_body, loss_fn, settings_optimizer
 
 
-def init_multiscene_state(key: jax.Array, n_scenes: int, s: TrainSettings):
-    """(params, opt_state) with a leading scene axis."""
+def init_multiscene_state(key: jax.Array, n_scenes: int, s: TrainSettings, init_fn=None):
+    """(params, opt_state) with a leading scene axis.
+
+    init_fn(key) -> params overrides the TinyNeRF init (e.g. the
+    hierarchical coarse/fine pair via models/nerf.init_nerf).
+    """
     keys = jax.random.split(key, n_scenes)
-    params = jax.vmap(lambda k: init_tinynerf(k, s.model_cfg))(keys)
+    one = init_fn or (lambda k: init_tinynerf(k, s.model_cfg))
+    params = jax.vmap(one)(keys)
     opt_state = jax.vmap(settings_optimizer(s).init)(params)
     return params, opt_state
 

@@ -52,6 +52,8 @@ class MultiSceneConfig:
     ckpt_path: str = "checkpoints/multiscene.npz"
     data_dir: str = "data/multiscene"
     preview: bool = True
+    model: str = "tinynerf"  # "tinynerf" | "nerf" (hierarchical+viewdirs)
+    n_fine: int = 64  # fine samples per ray (nerf model)
     fused_train: bool = False  # fused Pallas fwd+bwd kernel per scene
     n_devices: Optional[int] = None
 
@@ -100,15 +102,31 @@ def main(cfg: MultiSceneConfig) -> dict:
         num_freqs=cfg.num_freqs,
         lr=cfg.lr,
     )
-    params, opt_state = init_multiscene_state(jax.random.PRNGKey(cfg.seed), cfg.scenes, s)
+    loss = init_fn = ncfg = None
+    if cfg.model == "nerf":
+        from tinynerf_tpu.models.nerf import NeRFConfig, init_nerf, make_hierarchical_loss
+
+        ncfg = NeRFConfig(num_freqs=cfg.num_freqs, hidden=cfg.hidden)
+        loss = make_hierarchical_loss(ncfg, n_fine=cfg.n_fine)
+        init_fn = lambda k: init_nerf(k, ncfg)
+    elif cfg.model != "tinynerf":
+        raise ValueError(f"unknown model {cfg.model!r} (tinynerf|nerf)")
+    params, opt_state = init_multiscene_state(
+        jax.random.PRNGKey(cfg.seed), cfg.scenes, s, init_fn=init_fn
+    )
     grad_fn = None
     if cfg.fused_train:
-        from tinynerf_tpu.kernels.fused_train import make_fused_grad_fn
+        if cfg.model == "nerf":
+            from tinynerf_tpu.kernels.fused_nerf_train import make_fused_nerf_grad_fn
 
-        grad_fn = make_fused_grad_fn(s)
+            grad_fn = make_fused_nerf_grad_fn(s, ncfg, n_fine=cfg.n_fine)
+        else:
+            from tinynerf_tpu.kernels.fused_train import make_fused_grad_fn
+
+            grad_fn = make_fused_grad_fn(s)
         print("[train] fused Pallas fwd+bwd kernel enabled (vmapped over scenes)")
     block = make_multiscene_train_block(
-        s, cfg.log_every, cfg.scenes, mesh, grad_fn=grad_fn
+        s, cfg.log_every, cfg.scenes, mesh, loss=loss, grad_fn=grad_fn
     )
     key = jax.random.PRNGKey(cfg.seed + 1)
 
@@ -120,7 +138,7 @@ def main(cfg: MultiSceneConfig) -> dict:
     for b in range(0, cfg.iters, cfg.log_every):
         n = min(cfg.log_every, cfg.iters - b)
         if n != cfg.log_every:
-            block = make_multiscene_train_block(s, n, cfg.scenes, mesh, grad_fn=grad_fn)
+            block = make_multiscene_train_block(s, n, cfg.scenes, mesh, loss=loss, grad_fn=grad_fn)
         params, opt_state, m = block(
             params, opt_state, key, jnp.int32(b), rays_o, rays_d, pixels
         )
@@ -141,13 +159,21 @@ def main(cfg: MultiSceneConfig) -> dict:
         params,
         opt_state,
         cfg.iters,
-        meta={"scenes": cfg.scenes, "size": cfg.size, "model": "tinynerf-multiscene"},
+        meta={"scenes": cfg.scenes, "size": cfg.size, "model": f"{cfg.model}-multiscene"},
     )
     if cfg.preview:
-        renderer = make_image_renderer(
-            H=H, W=W, focal=focal, chunk=8192, n_samples=cfg.n_samples,
-            near=cfg.near, far=cfg.far, num_freqs=cfg.num_freqs,
-        )
+        if cfg.model == "nerf":
+            from tinynerf_tpu.render import make_hierarchical_image_renderer
+
+            renderer = make_hierarchical_image_renderer(
+                H=H, W=W, focal=focal, chunk=4096, n_coarse=cfg.n_samples,
+                n_fine=cfg.n_fine, near=cfg.near, far=cfg.far, nerf_cfg=ncfg,
+            )
+        else:
+            renderer = make_image_renderer(
+                H=H, W=W, focal=focal, chunk=8192, n_samples=cfg.n_samples,
+                near=cfg.near, far=cfg.far, num_freqs=cfg.num_freqs,
+            )
         for k in range(min(cfg.scenes, 4)):
             img = renderer(scene_params(params, k), poses[k][0])
             write_png(f"{cfg.out_dir}/scene_{k:03d}.png", np.asarray(img))

@@ -30,4 +30,8 @@ def write_gif(path: str, frames: Sequence, fps: int = 15, loop: int = 0) -> None
     import imageio.v2 as imageio
 
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    imageio.mimsave(path, [to_uint8(f) for f in frames], fps=fps, loop=loop)
+    # imageio's pillow plugin deprecated `fps` for GIFs; `duration` is
+    # per-frame milliseconds (fps=15 -> ~67ms).
+    imageio.mimsave(
+        path, [to_uint8(f) for f in frames], duration=1000.0 / fps, loop=loop
+    )
