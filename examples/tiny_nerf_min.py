@@ -1,16 +1,26 @@
-"""Single-file TinyNeRF on TPU — the whole pipeline in one runnable script.
+"""TinyNeRF on TPU in ONE self-contained file — read this, understand everything.
 
-The reference ships a monolithic tutorial variant (tiny_nerf_min.py)
-whose train() is defined but never invoked (no __main__ guard — running
-it only builds the model and exits; see SURVEY.md section 2 #14). This
-framework's single-file variant actually trains.
+This is the framework's counterpart to the reference's single-file
+tutorial (`src/tiny_nerf_min.py:1-1460`): the complete pipeline —
+rays -> stratified sampling -> Fourier encoding -> MLP -> volume
+rendering -> Adam — inlined with ZERO imports from tinynerf_tpu, so the
+whole algorithm is visible in ~300 lines. Two deliberate improvements
+over the reference's variant:
 
-Deliberately self-contained: it uses only the framework's public ops
-(one import block), hard-codes the tutorial config like the reference
-does (ITERS=8000, N_RAND=2048, N_SAMPLES=64, LR=5e-4), logs every 100
-steps, previews every 1000, and saves a model-only checkpoint.
+  1. it actually trains (the reference defines train() at
+     src/tiny_nerf_min.py:1149 but never calls it — no __main__ guard);
+  2. it is written TPU-first: pure functions + explicit parameter
+     pytrees, one jit-compiled multi-step training block (lax.scan, so
+     thousands of steps run per host dispatch), bf16 matmuls with fp32
+     accumulation instead of CUDA AMP, and explicit jax.random keys
+     instead of global RNG state.
 
-Run: python examples/tiny_nerf_min.py
+Config matches the reference's module constants
+(src/tiny_nerf_min.py:10-16): 8000 iters, 2048 rays/step, 64 samples,
+near 2 / far 6, lr 5e-4, log every 100, preview every 1000, and a
+model-only checkpoint at the end (src/tiny_nerf_min.py:1369).
+
+Run: python -u examples/tiny_nerf_min.py
 """
 
 import os
@@ -20,67 +30,327 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tinynerf_tpu.data import ensure_data
-from tinynerf_tpu.models.tinynerf import TinyNeRFConfig, init_tinynerf
-from tinynerf_tpu.ops.rays import get_rays_for_poses
-from tinynerf_tpu.render import make_image_renderer
-from tinynerf_tpu.training import TrainSettings, init_train_state, make_train_block
-from tinynerf_tpu.utils.image_io import write_png
-
-# ---- tutorial config (matches the reference's module constants) ----
+# ----------------------------------------------------------------------
+# Config (reference: src/tiny_nerf_min.py:10-16)
+# ----------------------------------------------------------------------
 ITERS = 8000
-N_RAND = 2048
-N_SAMPLES = 64
-NEAR, FAR = 2.0, 6.0
+N_RAND = 2048          # rays per step
+N_SAMPLES = 64         # depth samples per ray
+NEAR, FAR = 2.0, 6.0   # scene bounds along each ray
 LR = 5e-4
+NUM_FREQS = 10         # positional-encoding bands -> 63-dim features
+HIDDEN, DEPTH, SKIP_AT = 128, 4, 2
 LOG_EVERY = 100
 PREVIEW_EVERY = 1000
 SEED = 0
+DATA_PATH = "data/tiny_nerf_data.npz"
 OUT_DIR = "outputs"
 CKPT = "checkpoints/tiny_nerf_min.npz"
 
 
-def train() -> None:
+# ----------------------------------------------------------------------
+# Rays: one per pixel from a pinhole camera (reference: src/rays.py:3-33)
+# ----------------------------------------------------------------------
+def get_rays(H, W, focal, c2w):
+    """Camera-to-world pose (4,4) -> (rays_o, rays_d), each (H*W, 3).
+
+    Pixel (i, j) maps to direction [(i - W/2)/f, -(j - H/2)/f, -1] in
+    camera space (camera looks down -z), rotated into world space by the
+    pose's rotation; all rays share the camera origin. Directions are
+    unit-normalized.
+    """
+    i = jnp.arange(W, dtype=jnp.float32)[None, :].repeat(H, axis=0)  # (H, W)
+    j = jnp.arange(H, dtype=jnp.float32)[:, None].repeat(W, axis=1)
+    dirs = jnp.stack(
+        [(i - W * 0.5) / focal, -(j - H * 0.5) / focal, -jnp.ones_like(i)], -1
+    )  # (H, W, 3)
+    rays_d = jnp.einsum("hwc,rc->hwr", dirs, c2w[:3, :3]).reshape(-1, 3)
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    rays_o = jnp.broadcast_to(c2w[:3, 3], rays_d.shape)
+    return rays_o, rays_d
+
+
+# ----------------------------------------------------------------------
+# Stratified depth sampling (reference: src/sampling.py:3-28)
+# ----------------------------------------------------------------------
+def stratified_z(key, n_rays, randomized=True):
+    """(n_rays, N_SAMPLES) depths: evenly spaced bins, one uniform draw
+    per bin when randomized (the Monte-Carlo part of NeRF's integral)."""
+    z = jnp.linspace(NEAR, FAR, N_SAMPLES, dtype=jnp.float32)
+    z = jnp.broadcast_to(z, (n_rays, N_SAMPLES))
+    if not randomized:
+        return z
+    mids = 0.5 * (z[:, :-1] + z[:, 1:])
+    upper = jnp.concatenate([mids, z[:, -1:]], -1)
+    lower = jnp.concatenate([z[:, :1], mids], -1)
+    u = jax.random.uniform(key, z.shape, dtype=jnp.float32)
+    return lower + (upper - lower) * u
+
+
+# ----------------------------------------------------------------------
+# Positional encoding (reference: src/encoding.py:4-33)
+# ----------------------------------------------------------------------
+def encode(x):
+    """(N, 3) points -> (N, 63): [x, sin(2^k x), cos(2^k x)] for
+    k = 0..NUM_FREQS-1. High-frequency Fourier features let the small
+    MLP represent sharp detail (the key TinyNeRF trick)."""
+    freqs = 2.0 ** jnp.arange(NUM_FREQS, dtype=jnp.float32)
+    theta = x[:, None, :] * freqs[None, :, None]  # (N, L, 3)
+    theta = theta.reshape(x.shape[0], -1)
+    return jnp.concatenate([x, jnp.sin(theta), jnp.cos(theta)], axis=-1)
+
+
+IN_DIM = 3 + 3 * 2 * NUM_FREQS  # 63
+
+
+# ----------------------------------------------------------------------
+# Model: 4-layer ReLU MLP with one skip connection
+# (reference: src/nerf.py:4-41; ~66k parameters)
+# ----------------------------------------------------------------------
+def init_params(key):
+    """Explicit parameter pytree (JAX style: params are data, the model
+    is a pure function of them). Kaiming-uniform like torch Linear."""
+    def linear(k, n_in, n_out):
+        kw, kb = jax.random.split(k)
+        bound = 1.0 / np.sqrt(n_in)
+        return {
+            "w": jax.random.uniform(kw, (n_in, n_out), jnp.float32, -bound, bound),
+            "b": jax.random.uniform(kb, (n_out,), jnp.float32, -bound, bound),
+        }
+
+    keys = jax.random.split(key, DEPTH + 2)
+    layers, last = [], IN_DIM
+    for i in range(DEPTH):
+        layers.append(linear(keys[i], last, HIDDEN))
+        # After the skip concat the next layer sees hidden+encoding dims.
+        last = HIDDEN + IN_DIM if i == SKIP_AT - 1 else HIDDEN
+    return {
+        "layers": layers,
+        "sigma": linear(keys[DEPTH], HIDDEN, 1),
+        "rgb": linear(keys[DEPTH + 1], HIDDEN, 3),
+    }
+
+
+def apply_mlp(params, x_enc):
+    """(N, 63) encoded points -> rgb (N, 3) in [0,1], sigma (N, 1) >= 0.
+
+    bf16 matmuls with fp32 accumulation: the TPU MXU's native precision
+    regime (the analog of the reference's CUDA AMP, src/train.py:116,
+    but with no GradScaler — bf16 keeps fp32's exponent range).
+    """
+    def dense(h, layer):
+        return (
+            jnp.dot(
+                h.astype(jnp.bfloat16),
+                layer["w"].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            + layer["b"]
+        )
+
+    h = x_enc
+    for i, layer in enumerate(params["layers"]):
+        h = jax.nn.relu(dense(h, layer))
+        if i == SKIP_AT - 1:  # skip: re-inject the encoding
+            h = jnp.concatenate([h, x_enc], axis=-1)
+    sigma = jax.nn.relu(dense(h, params["sigma"]))
+    rgb = jax.nn.sigmoid(dense(h, params["rgb"]))
+    return rgb, sigma
+
+
+# ----------------------------------------------------------------------
+# Volume rendering (reference: src/volume.py:3-44)
+# ----------------------------------------------------------------------
+def volume_render(rgb, sigma, z_vals, rays_d):
+    """Alpha-composite samples along each ray (NeRF eq. 3).
+
+    rgb (R,S,3), sigma (R,S), z_vals (R,S) -> composite color (R,3).
+    alpha_i = 1 - exp(-sigma_i * delta_i); weights = alpha * T where T
+    is the transmittance (probability the ray survives to sample i);
+    white background adds (1 - sum(weights)).
+    """
+    delta = jnp.diff(z_vals, axis=-1)
+    delta = jnp.concatenate([delta, jnp.full_like(delta[:, :1], 1e10)], -1)
+    delta = delta * jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    alpha = 1.0 - jnp.exp(-sigma * delta)
+    trans = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
+    trans = jnp.concatenate([jnp.ones_like(trans[:, :1]), trans[:, :-1]], -1)
+    weights = alpha * trans  # (R, S)
+    comp = jnp.sum(weights[..., None] * rgb, axis=-2)
+    acc = jnp.sum(weights, -1, keepdims=True)
+    return comp + (1.0 - acc)  # white background
+
+
+def render_rays(params, rays_o, rays_d, key=None):
+    """The full forward chain for one ray batch."""
+    randomized = key is not None
+    z = stratified_z(key, rays_o.shape[0], randomized=randomized)
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+    rgb, sigma = apply_mlp(params, encode(pts.reshape(-1, 3)))
+    return volume_render(
+        rgb.reshape(*z.shape, 3), sigma.reshape(z.shape), z, rays_d
+    )
+
+
+# ----------------------------------------------------------------------
+# Adam (hand-rolled: ~the 10 lines torch.optim.Adam hides)
+# ----------------------------------------------------------------------
+def adam_init(params):
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+    return {"m": zeros, "v": zeros, "t": jnp.zeros((), jnp.int32)}
+
+
+def adam_update(grads, state, params, b1=0.9, b2=0.999, eps=1e-8):
+    t = state["t"] + 1
+    m = jax.tree_util.tree_map(lambda m, g: b1 * m + (1 - b1) * g, state["m"], grads)
+    v = jax.tree_util.tree_map(lambda v, g: b2 * v + (1 - b2) * g * g, state["v"], grads)
+    scale = LR * jnp.sqrt(1 - b2**t.astype(jnp.float32)) / (1 - b1**t.astype(jnp.float32))
+    params = jax.tree_util.tree_map(
+        lambda p, m, v: p - scale * m / (jnp.sqrt(v) + eps), params, m, v
+    )
+    return params, {"m": m, "v": v, "t": t}
+
+
+# ----------------------------------------------------------------------
+# Training (reference loop: src/train.py:105-148)
+# ----------------------------------------------------------------------
+def make_train_block(rays_o_all, rays_d_all, pixels):
+    """One jit-compiled LOG_EVERY-step block. On TPU, dispatching a
+    lax.scan block (not single steps) amortizes host->device latency to
+    ~zero — the single biggest structural difference from the
+    reference's Python-loop-per-step."""
+    n_images = rays_o_all.shape[0]
+    hw = rays_o_all.shape[1]
+
+    def loss_fn(params, ro, rd, target, key):
+        comp = render_rays(params, ro, rd, key)
+        return jnp.mean((comp - target) ** 2)
+
+    def one_step(carry, step):
+        params, opt, key = carry
+        k_step = jax.random.fold_in(key, step)
+        k_pix, k_z = jax.random.split(k_step)
+        img_i = step % n_images  # cycle images like the reference
+        inds = jax.random.randint(k_pix, (N_RAND,), 0, hw)
+        ro, rd = rays_o_all[img_i][inds], rays_d_all[img_i][inds]
+        target = pixels[img_i][inds]
+        loss, grads = jax.value_and_grad(loss_fn)(params, ro, rd, target, k_z)
+        params, opt = adam_update(grads, opt, params)
+        return (params, opt, key), loss
+
+    @jax.jit
+    def block(params, opt, key, step0):
+        (params, opt, _), losses = jax.lax.scan(
+            one_step, (params, opt, key), step0 + jnp.arange(LOG_EVERY)
+        )
+        return params, opt, losses
+
+    return block
+
+
+def render_image(params, H, W, focal, pose, chunk=8192):
+    """Full-image render in fixed-size chunks (static shapes for XLA;
+    reference: src/train.py:36-59). Deterministic depths for eval."""
+    rays_o, rays_d = get_rays(H, W, focal, pose)
+    pad = (-rays_o.shape[0]) % chunk
+    ro = jnp.pad(rays_o, ((0, pad), (0, 0))).reshape(-1, chunk, 3)
+    rd = jnp.pad(rays_d, ((0, pad), (0, 0))).reshape(-1, chunk, 3)
+    comp = jax.lax.map(lambda ab: render_rays(params, ab[0], ab[1]), (ro, rd))
+    img = comp.reshape(-1, 3)[: H * W].reshape(H, W, 3)
+    return jnp.clip(img, 0.0, 1.0)
+
+
+def write_png(path, img):
+    import imageio.v2 as imageio
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    imageio.imwrite(path, (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8))
+
+
+def load_data():
+    """tiny_nerf_data.npz: 106 images (100,100,3) + (4,4) poses + focal.
+    Falls back to a tiny procedural scene (emissive gaussian blobs,
+    rendered with this very pipeline) when the npz is absent and there
+    is no network egress."""
+    if os.path.exists(DATA_PATH):
+        d = np.load(DATA_PATH)
+        return (
+            d["images"].astype(np.float32),
+            d["poses"].astype(np.float32),
+            float(d["focal"]),
+        )
+    print(f"[data] {DATA_PATH} missing - generating a synthetic stand-in scene")
+    H = W = 64
+    focal, n_poses, radius = 70.0, 24, 4.0
+    rng = np.random.RandomState(0)
+    blobs_mu = rng.randn(6, 3).astype(np.float32) * 0.45  # scene content
+    blobs_col = rng.rand(6, 3).astype(np.float32) * 0.8 + 0.2
+
+    def pose_at(theta, phi=-0.5):  # camera on a sphere, looking at origin
+        fwd = -np.array(
+            [np.cos(phi) * np.sin(theta), np.sin(phi), np.cos(phi) * np.cos(theta)]
+        )
+        right = np.cross(fwd, [0.0, 1.0, 0.0]); right /= np.linalg.norm(right)
+        up = np.cross(right, fwd)
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = right, up, -fwd, -fwd * radius
+        return c2w
+
+    poses = np.stack([pose_at(t) for t in np.linspace(0, 2 * np.pi, n_poses, False)])
+
+    def scene_image(pose):  # analytic density/color -> volume render
+        ro, rd = get_rays(H, W, focal, jnp.asarray(pose))
+        z = jnp.broadcast_to(jnp.linspace(NEAR, FAR, 96), (ro.shape[0], 96))
+        pts = ro[:, None, :] + rd[:, None, :] * z[..., None]
+        d2 = jnp.sum((pts[:, :, None, :] - blobs_mu) ** 2, -1)  # (R,S,B)
+        dens = jnp.exp(-d2 / (2 * 0.16))  # gaussian blobs, sd 0.4
+        sigma = 40.0 * jnp.sum(dens, -1)
+        rgb = jnp.einsum("rsb,bc->rsc", dens, jnp.asarray(blobs_col)) / (
+            jnp.sum(dens, -1, keepdims=True) + 1e-8
+        )
+        return np.asarray(
+            volume_render(rgb, sigma, z, rd).reshape(H, W, 3)
+        ).clip(0, 1)
+
+    images = np.stack([scene_image(p) for p in poses]).astype(np.float32)
+    return images, poses.astype(np.float32), focal
+
+
+def train():
     print(f"[device] {jax.devices()}")
-    d = ensure_data()
-    images = jnp.asarray(d["images"])
-    poses = jnp.asarray(d["poses"])
-    focal = float(d["focal"])
+    images, poses, focal = load_data()
     n_images, H, W, _ = images.shape
     print(f"[data] N={n_images} H={H} W={W} focal={focal:.2f}")
 
-    settings = TrainSettings(
-        n_rand=N_RAND, n_samples=N_SAMPLES, near=NEAR, far=FAR, lr=LR
+    # Precompute all rays for all poses once (one XLA program).
+    rays_o_all, rays_d_all = jax.vmap(lambda p: get_rays(H, W, focal, p))(
+        jnp.asarray(poses)
     )
-    params, opt_state = init_train_state(jax.random.PRNGKey(SEED), settings)
-    rays_o, rays_d = get_rays_for_poses(H, W, focal, poses)
-    pixels = images.reshape(n_images, H * W, 3)
+    pixels = jnp.asarray(images).reshape(n_images, H * W, 3)
 
-    block = make_train_block(settings, LOG_EVERY)
-    renderer = make_image_renderer(
-        H=H, W=W, focal=focal, n_samples=N_SAMPLES, near=NEAR, far=FAR
-    )
     key = jax.random.PRNGKey(SEED)
+    params = init_params(key)
+    opt = adam_init(params)
+    block = make_train_block(rays_o_all, rays_d_all, pixels)
+    render = jax.jit(lambda p, pose: render_image(p, H, W, focal, pose))
 
     os.makedirs(OUT_DIR, exist_ok=True)
     t0 = time.time()
     for start in range(0, ITERS, LOG_EVERY):
-        params, opt_state, m = block(
-            params, opt_state, key, jnp.int32(start), rays_o, rays_d, pixels
-        )
+        params, opt, losses = block(params, opt, key, jnp.int32(start))
         step = start + LOG_EVERY
-        print(
-            f"step {step:5d}  loss {float(m['loss'][-1]):.5f}  "
-            f"psnr {float(m['psnr'][-1]):.2f}"
-        )
+        mse = float(losses[-1])
+        psnr = -10.0 * np.log10(max(mse, 1e-10))
+        print(f"step {step:5d}  loss {mse:.5f}  psnr {psnr:.2f}")
         if step % PREVIEW_EVERY == 0:
-            img = renderer(params, poses[step % n_images])
-            write_png(f"{OUT_DIR}/min_preview_{step:06d}.png", np.asarray(img))
+            img = render(params, jnp.asarray(poses[step % n_images]))
+            write_png(f"{OUT_DIR}/min_preview_{step:06d}.png", img)
     dt = time.time() - t0
     print(f"[done] {ITERS} iters in {dt / 60:.2f} min ({ITERS * N_RAND / dt:,.0f} rays/s)")
 
-    # Model-only checkpoint (matches the min variant's schema choice).
-    leaves, treedef = jax.tree_util.tree_flatten(params)
+    # Model-only checkpoint (the min variant's schema,
+    # src/tiny_nerf_min.py:1369).
+    leaves, _ = jax.tree_util.tree_flatten(params)
     os.makedirs(os.path.dirname(CKPT), exist_ok=True)
     np.savez(CKPT, **{f"param_{i}": np.asarray(x) for i, x in enumerate(leaves)})
     print(f"[ckpt] saved model-only checkpoint to {CKPT}")

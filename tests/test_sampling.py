@@ -73,6 +73,49 @@ def test_sample_pdf_uniform_weights_roughly_uniform():
     )
 
 
+def test_sample_pdf_stratified_matches_numpy_inverse_cdf():
+    """stratified=True: u_i = (i + r_i)/n, then the same inverse CDF.
+
+    Oracle: recompute the inverse CDF in numpy (np.searchsorted + linear
+    interp) from the u's jax must have drawn, and check each sample
+    falls in its own equal-probability stratum.
+    """
+    n_rays, n_bins, n_imp = 4, 8, 32
+    rng = np.random.RandomState(0)
+    bins = np.sort(rng.rand(n_rays, n_bins + 1).astype(np.float32) * 4 + 2, axis=-1)
+    weights = rng.rand(n_rays, n_bins).astype(np.float32)
+
+    key = jax.random.PRNGKey(3)
+    samples = np.asarray(
+        sample_pdf(
+            jnp.asarray(bins), jnp.asarray(weights), n_imp,
+            randomized=True, key=key, stratified=True,
+        )
+    )
+
+    # numpy oracle with the exact same u draw
+    eps = 1e-5
+    w = weights + eps
+    pdf = w / w.sum(-1, keepdims=True)
+    cdf = np.concatenate([np.zeros((n_rays, 1)), np.cumsum(pdf, -1)], -1)
+    r = np.asarray(jax.random.uniform(key, (n_rays, n_imp), dtype=jnp.float32))
+    u = (np.arange(n_imp, dtype=np.float32) + r) / n_imp
+    expect = np.empty_like(u)
+    for i in range(n_rays):
+        idx = np.searchsorted(cdf[i], u[i], side="right")
+        below, above = np.clip(idx - 1, 0, n_bins), np.clip(idx, 0, n_bins)
+        denom = cdf[i][above] - cdf[i][below]
+        denom = np.where(denom < 1e-8, 1.0, denom)
+        t = (u[i] - cdf[i][below]) / denom
+        expect[i] = bins[i][below] + t * (bins[i][above] - bins[i][below])
+    np.testing.assert_allclose(samples, np.sort(expect, -1), rtol=1e-5, atol=1e-5)
+
+    # Each u_i sits in stratum [i/n, (i+1)/n): exactly one sample per
+    # equal-probability stratum of the CDF.
+    strat = np.floor(u * n_imp).astype(int)
+    assert (strat == np.arange(n_imp)).all()
+
+
 def test_sample_pdf_jit_and_vmap_compatible():
     f = jax.jit(lambda b, w, k: sample_pdf(b, w, 8, randomized=True, key=k))
     bins = jnp.broadcast_to(jnp.linspace(0.0, 1.0, 5), (3, 5))

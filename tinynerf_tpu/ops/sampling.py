@@ -72,6 +72,7 @@ def sample_pdf(
     randomized: bool = True,
     key: Optional[jax.Array] = None,
     eps: float = 1e-5,
+    stratified: bool = False,
 ):
     """Inverse-CDF sampling of `n_importance` depths from a piecewise
     PDF defined by `weights` over `bins` (hierarchical / "fine" sampling).
@@ -80,8 +81,12 @@ def sample_pdf(
       bins: (N_rays, B+1) sorted bin edges (e.g. z_val midpoints).
       weights: (N_rays, B) non-negative, typically composite weights.
       n_importance: static number of new samples.
-      randomized: stratified-uniform u's when True, else linspace.
+      randomized: i.i.d.-uniform u's when True (the original NeRF's
+        `torch.rand` behavior), else a deterministic linspace.
       key: PRNG key (required when randomized).
+      stratified: with randomized=True, draw u_i = (i + rand_i)/n
+        instead — the NeRF paper's stratified inverse-CDF variant
+        (one jittered u per equal-probability stratum, lower variance).
 
     Returns:
       samples: (N_rays, n_importance), sorted ascending per ray.
@@ -99,6 +104,11 @@ def sample_pdf(
         if key is None:
             raise ValueError("sample_pdf(randomized=True) requires a PRNG key")
         u = jax.random.uniform(key, (n_rays, n_importance), dtype=jnp.float32)
+        if stratified:
+            # One jittered draw per equal-probability stratum:
+            # u_i in [i/n, (i+1)/n).
+            strata = jnp.arange(n_importance, dtype=jnp.float32)
+            u = (strata + u) / n_importance
     else:
         u = jnp.linspace(0.0, 1.0, n_importance, dtype=jnp.float32)
         u = jnp.broadcast_to(u, (n_rays, n_importance))

@@ -216,10 +216,15 @@ def main(cfg: Config) -> dict:
                     metrics_f.flush()
 
             if step_end % cfg.preview_every == 0:
-                img_i = (step_end - 1) % n_images
-                pose_idx = (
-                    (img_i + 1) if cfg.preview_pose is None else cfg.preview_pose
-                ) % n_images
+                # Match the reference's (step % N)+1 preview semantics
+                # over the set actually trained on: with holdout > 0 the
+                # train loop cycles modulo n_train, so the default
+                # preview pose must too (an explicit --preview-pose may
+                # still name any pose, including held-out ones).
+                if cfg.preview_pose is None:
+                    pose_idx = ((step_end - 1) % n_train + 1) % n_train
+                else:
+                    pose_idx = cfg.preview_pose % n_images
                 img = renderer(params, poses[pose_idx])
                 write_png(f"{cfg.out_dir}/preview_{step_end:06d}.png", np.asarray(img))
 

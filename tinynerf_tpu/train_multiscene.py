@@ -94,6 +94,9 @@ def main(cfg: MultiSceneConfig) -> dict:
     rays_o, rays_d = jax.vmap(lambda ps: get_rays_for_poses(H, W, focal, ps))(poses)
     pixels = images.reshape(cfg.scenes, cfg.poses_per_scene, H * W, 3)
 
+    from tinynerf_tpu.models.tinynerf import TinyNeRFConfig
+    from tinynerf_tpu.ops.encoding import encoding_dim
+
     s = TrainSettings(
         n_rand=cfg.n_rand,
         n_samples=cfg.n_samples,
@@ -101,6 +104,11 @@ def main(cfg: MultiSceneConfig) -> dict:
         far=cfg.far,
         num_freqs=cfg.num_freqs,
         lr=cfg.lr,
+        # --hidden applies to both model families (for tinynerf the
+        # default TrainSettings would otherwise silently ignore it).
+        model_cfg=TinyNeRFConfig(
+            in_dim=encoding_dim(cfg.num_freqs), hidden=cfg.hidden
+        ),
     )
     loss = init_fn = ncfg = None
     if cfg.model == "nerf":

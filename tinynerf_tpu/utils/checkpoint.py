@@ -82,14 +82,29 @@ def restore_checkpoint(path: str, params_template, opt_state_template):
             )
         if info["opt_struct"] != o_struct or info["n_opt"] != len(o_leaves):
             raise ValueError("checkpoint optimizer-state structure mismatch")
-        new_p = [
-            np.asarray(z[f"param_{i}"]).astype(np.asarray(t).dtype)
-            for i, t in enumerate(p_leaves)
-        ]
-        new_o = [
-            np.asarray(z[f"opt_{i}"]).astype(np.asarray(t).dtype)
-            for i, t in enumerate(o_leaves)
-        ]
+
+        def _load(key_fmt, leaves, template_tree, what):
+            # Structure fingerprints match but shapes may not (e.g. a
+            # checkpoint from a different hidden width): name the leaf.
+            paths = [
+                jax.tree_util.keystr(kp)
+                for kp, _ in jax.tree_util.tree_flatten_with_path(template_tree)[0]
+            ]
+            out = []
+            for i, t in enumerate(leaves):
+                arr = np.asarray(z[key_fmt.format(i)])
+                tmpl = np.asarray(t)
+                if arr.shape != tmpl.shape:
+                    raise ValueError(
+                        f"checkpoint {what} leaf {paths[i]} has shape "
+                        f"{arr.shape} but the template (current config) "
+                        f"expects {tmpl.shape} — config/checkpoint mismatch"
+                    )
+                out.append(arr.astype(tmpl.dtype))
+            return out
+
+        new_p = _load("param_{}", p_leaves, params_template, "param")
+        new_o = _load("opt_{}", o_leaves, opt_state_template, "opt-state")
         step = int(z["step"])
     params = jax.tree_util.tree_unflatten(p_def, new_p)
     opt_state = jax.tree_util.tree_unflatten(o_def, new_o)

@@ -35,7 +35,11 @@ def ssim(
 
     Gaussian-windowed SSIM (the variant NeRF papers report alongside
     PSNR; the reference reports PSNR only). Pure jnp: the window is a
-    separable depthwise convolution, jit/TPU-friendly.
+    separable depthwise convolution, jit/TPU-friendly. The window//2
+    border of the SSIM map (where edge-replicate padding biases the
+    local statistics) is cropped before averaging, matching the
+    valid-window convention of skimage/NeRF eval scripts so headline
+    numbers are comparable to published figures.
     """
     pred = pred.astype(jnp.float32)
     target = target.astype(jnp.float32)
@@ -62,4 +66,5 @@ def ssim(
     c1, c2 = k1**2, k2**2
     num = (2 * mu_pt + c1) * (2 * sig_pt + c2)
     den = (mu_pp + mu_tt + c1) * (sig_p + sig_t + c2)
-    return jnp.mean(num / den)
+    ssim_map = num / den
+    return jnp.mean(ssim_map[half:-half, half:-half])

@@ -69,15 +69,29 @@ def params_to_torch_state_dict(params) -> Dict[str, np.ndarray]:
     return out
 
 
-def import_torch_checkpoint(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+def import_torch_checkpoint(
+    path: str, allow_pickle: bool = False
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Load a reference .pth checkpoint -> (params, meta).
 
     meta carries {"step", "in_dim", "cfg"} from the torch checkpoint
-    (src/train.py:143-148 schema).
+    (src/train.py:143-148 schema). Reference checkpoints are plain
+    tensor/dict payloads, so safe weights-only unpickling suffices;
+    arbitrary-pickle loading (which executes code from the file) is
+    gated behind allow_pickle=True.
     """
     import torch
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        if not allow_pickle:
+            raise ValueError(
+                f"{path} is not a weights-only torch checkpoint; pass "
+                "allow_pickle=True to run the full (code-executing) unpickler "
+                "if you trust the file"
+            )
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
     state = ckpt["model"] if "model" in ckpt else ckpt
     params = params_from_torch_state_dict(state)
     meta = {
