@@ -128,3 +128,24 @@ def test_fused_nerf_training_learns():
         losses.append(float(m["loss"].mean()))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
+
+
+def test_hierarchical_grads_fori_tile_path():
+    """n_tiles > _UNROLL_TILES exercises the lax.fori_loop tile loop
+    (traced pl.ds slices + in-loop emit_sampling writes)."""
+    s, params, ro, rd, target = _case(R=64, S=8, seed=5)
+    n_fine = 8
+    ref_loss, ref_grads = jax.value_and_grad(
+        lambda p: _ref_hier_loss(p, ro, rd, target, s, n_fine)
+    )(params)
+
+    grad_fn = make_fused_nerf_grad_fn(
+        s, TINY, n_fine=n_fine, tile_r=8, randomized=False, interpret=True
+    )
+    grads, metrics = grad_fn(params, ro, rd, target, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(
+        float(metrics["loss_coarse"]) + float(metrics["loss"]),
+        float(ref_loss),
+        atol=1e-6,
+    )
+    _assert_close(ref_grads, grads)

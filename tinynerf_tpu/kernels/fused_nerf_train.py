@@ -13,6 +13,14 @@ the tiny inverse-CDF resample + sort on (R, S) arrays:
     -> sample_pdf + sorted union (ops/sampling.py)
     -> fine kernel (z input; emits loss_f, grads_f)
 
+Structure matches kernels/fused_train.py (the TinyNeRF kernel): ONE
+grid step with a static in-kernel tile loop, so the ~150k params load
+into VMEM once, gradient accumulators live in registers across tiles,
+and outputs are written once — vs the earlier grid=(n_tiles,) design
+that refetched every weight block and read-modify-wrote every gradient
+accumulator through HBM per tile (~16% MFU; this design measures ~3x
+that at the canonical 2048x(64+128) recipe).
+
 Backward structure beyond kernels/fused_train.py: the trunk output
 feeds BOTH heads, so its gradient is the sum of the sigma-head and
 rgb-branch contributions; the rgb branch's concat'd direction encoding
@@ -38,18 +46,31 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tinynerf_tpu.kernels.fused_nerf import _prepare_nerf_weights
 from tinynerf_tpu.kernels.fused_render import _encode_permutation, _iota2
+from tinynerf_tpu.kernels.scans import (
+    prefix_product_exclusive,
+    suffix_sum_exclusive,
+    sum_over_samples,
+)
 from tinynerf_tpu.models.nerf import NeRFConfig
 from tinynerf_tpu.ops.volume import DELTA_INF, TRANS_EPS
 
 DEFAULT_TILE_R = 128
 
+# The NeRF tile body is ~3x the TinyNeRF one (8-deep trunk + two heads,
+# fwd+bwd); unrolling many of them blows Mosaic compile time (CLAUDE.md
+# gotcha: 30+ TinyNeRF bodies hang for minutes). Unroll only a few and
+# use lax.fori_loop beyond.
+_UNROLL_TILES = 4
+
 
 def _nerf_train_kernel(
     seed_ref,  # (1,1) int32 SMEM
-    o_ref,  # (3, TR)
-    d_ref,  # (3, TR)
-    t_ref,  # (3, TR) target rgb
-    *args,  # [z_ref (S, TR)]? + weight refs + output refs
+    o_ref,  # (3, R) full ray origins (transposed)
+    d_ref,  # (3, R) full ray directions
+    t_ref,  # (3, R) full target rgb
+    *args,  # [z_ref (S, R)]? + weight refs + output refs + scratch refs
+    TR: int,
+    n_tiles: int,
     S: int,
     has_z: bool,
     emit_sampling: bool,  # also output (weights, z) for resampling
@@ -65,6 +86,11 @@ def _nerf_train_kernel(
     inv_n: float,
     compute_dtype,
 ):
+    # Trailing two args are VMEM scratch (activation store); the
+    # activations CANNOT live as SSA values — ~55MB of live vregs makes
+    # the Mosaic register allocator create >200MB of spill slots.
+    acts_scr, enc_scr = args[-2], args[-1]
+    args = args[:-2]
     if has_z:
         z_ref, args = args[0], args[1:]
     n_wb = 2 * (n_layers + 3)  # trunk + sigma + rgb_in + rgb
@@ -75,37 +101,13 @@ def _nerf_train_kernel(
     if emit_sampling:
         w_out_ref, z_out_ref = outs[1 + n_wb], outs[2 + n_wb]
 
-    TR = o_ref.shape[1]
     P = TR * S
     L = num_freqs
     f32 = jnp.float32
     HI = jax.lax.Precision.HIGHEST
-    first = pl.program_id(0) == 0
     s_row = _iota2((1, P), 1) // TR
-
-    # ---- depths ----
-    if has_z:
-        z_row = z_ref[:].reshape(1, P)
-    else:
-        h_bin = (far - near) / (S - 1)
-        grid_z = near + h_bin * s_row.astype(f32)
-        if randomized:
-            pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
-            bits = pltpu.bitcast(pltpu.prng_random_bits((1, P)), jnp.int32)
-            u = (bits & 0xFFFFFF).astype(f32) * (1.0 / (1 << 24))
-            lower = jnp.where(s_row == 0, grid_z, grid_z - 0.5 * h_bin)
-            upper = jnp.where(s_row == S - 1, grid_z, grid_z + 0.5 * h_bin)
-            z_row = lower + (upper - lower) * u
-        else:
-            z_row = grid_z
-
-    norm = jnp.sqrt(jnp.sum(d_ref[:] * d_ref[:], axis=0, keepdims=True))
-    norm_rep = pltpu.repeat(norm, S, axis=1)
-    z_next = pltpu.roll(z_row, shift=P - TR, axis=1)
-    delta = jnp.where(s_row == S - 1, DELTA_INF, z_next - z_row) * norm_rep
-
-    od = pltpu.repeat(jnp.concatenate([o_ref[:], d_ref[:]], axis=0), S, axis=1)
-    pts = od[0:3] + od[3:6] * z_row
+    h_bin = (far - near) / (S - 1)
+    grid_z = near + h_bin * s_row.astype(f32)
 
     def fourier(x, n_freqs):
         r_ids = _iota2((3 * n_freqs, 3), 0)
@@ -113,8 +115,6 @@ def _nerf_train_kernel(
         B = jnp.where(r_ids % 3 == c_ids, jnp.exp2((r_ids // 3).astype(f32)), 0.0)
         th = jnp.dot(B, x, preferred_element_type=f32, precision=HI)
         return jnp.concatenate([x, jnp.sin(th), jnp.cos(th)], axis=0)
-
-    enc_c = fourier(pts, L).astype(compute_dtype)  # (E, P)
 
     def dense(h_c, i):
         return (
@@ -125,108 +125,174 @@ def _nerf_train_kernel(
             + wb[2 * i + 1][:]
         )
 
-    # ---- forward (store slim bf16 post-activations) ----
-    acts = [enc_c]
-    for i in range(n_layers):
-        h_in = acts[i] if i != skip_at else jnp.concatenate([acts[i], enc_c], axis=0)
-        acts.append(jnp.maximum(dense(h_in, i), 0.0).astype(compute_dtype))
-    h_trunk = acts[n_layers]  # (hidden, P)
-
     I_SIG, I_IN, I_RGB = n_layers, n_layers + 1, n_layers + 2
-    sigma = jnp.maximum(dense(h_trunk, I_SIG), 0.0)  # (1, P)
 
-    if use_viewdirs:
-        vdir = d_ref[:] / norm
-        enc_d_rep = pltpu.repeat(
-            fourier(vdir, num_freqs_dir), S, axis=1
-        ).astype(compute_dtype)  # (Dd, P)
-        rgb_in_input = jnp.concatenate([h_trunk, enc_d_rep], axis=0)
+    def tile_grads(ti):
+        """One ray tile: forward + backward; returns (loss, [gw/gb...]).
+
+        ti may be a traced fori_loop index: slices use pl.ds with a
+        multiple-of hint so Mosaic keeps aligned layouts.
+        """
+        start = pl.multiple_of(ti * TR, TR) if not isinstance(ti, int) else ti * TR
+        sl = pl.ds(start, TR)
+        o_t, d_t, tgt = o_ref[:, sl], d_ref[:, sl], t_ref[:, sl]
+
+        # ---- depths ----
+        if has_z:
+            # (S, TR) row-major == sample-major flat order: lane-merge.
+            z_row = z_ref[:, sl].reshape(1, P)
+        elif randomized:
+            # Per-tile stream decorrelated from the per-step seed by
+            # letting the hardware PRNG fold both (not seed+ti, which
+            # aliases streams across adjacent steps).
+            pltpu.prng_seed(seed_ref[0, 0], ti)
+            # Mosaic can't cast uint32->f32; keep 24 bits non-negative
+            # in int32 (same [0, 1) uniform).
+            bits = pltpu.bitcast(pltpu.prng_random_bits((1, P)), jnp.int32)
+            u = (bits & 0xFFFFFF).astype(f32) * (1.0 / (1 << 24))
+            lower = jnp.where(s_row == 0, grid_z, grid_z - 0.5 * h_bin)
+            upper = jnp.where(s_row == S - 1, grid_z, grid_z + 0.5 * h_bin)
+            z_row = lower + (upper - lower) * u
+        else:
+            z_row = grid_z
+
+        norm = jnp.sqrt(jnp.sum(d_t * d_t, axis=0, keepdims=True))  # (1, TR)
+        norm_rep = pltpu.repeat(norm, S, axis=1)
+        z_next = pltpu.roll(z_row, shift=P - TR, axis=1)
+        delta = jnp.where(s_row == S - 1, DELTA_INF, z_next - z_row) * norm_rep
+
+        # ---- forward (post-activations staged in VMEM scratch) ----
+        od = pltpu.repeat(jnp.concatenate([o_t, d_t], axis=0), S, axis=1)
+        pts = od[0:3] + od[3:6] * z_row  # (3, P)
+        enc_scr[:] = fourier(pts, L).astype(compute_dtype)  # (E, P)
+
+        def act(i):
+            """acts[i]: the input of trunk layer i (enc for i=0)."""
+            return enc_scr[:] if i == 0 else acts_scr[i - 1]
+
+        h = enc_scr[:]
+        for i in range(n_layers):
+            h_in = h if i != skip_at else jnp.concatenate(
+                [h, enc_scr[:]], axis=0
+            )
+            h = jnp.maximum(dense(h_in, i), 0.0).astype(compute_dtype)
+            acts_scr[i] = h
+        h_trunk = h  # (hidden, P)
+        hidden = h_trunk.shape[0]
+
+        sigma = jnp.maximum(dense(h_trunk, I_SIG), 0.0)  # (1, P)
+
+        if use_viewdirs:
+            vdir = d_t / norm
+            enc_d_rep = pltpu.repeat(
+                fourier(vdir, num_freqs_dir), S, axis=1
+            ).astype(compute_dtype)  # (Dd, P)
+            rgb_in_input = jnp.concatenate([h_trunk, enc_d_rep], axis=0)
+        else:
+            rgb_in_input = h_trunk
+        g1 = jnp.maximum(dense(rgb_in_input, I_IN), 0.0).astype(compute_dtype)
+        rgb = jax.nn.sigmoid(dense(g1, I_RGB))  # (3, P)
+
+        # ---- composite ----
+        one_m = jnp.exp(-sigma * delta) + TRANS_EPS
+        alpha = 1.0 - (one_m - TRANS_EPS)
+        trans = prefix_product_exclusive(one_m, S, TR)
+        w = alpha * trans
+        A = sum_over_samples(jnp.concatenate([rgb * w, w], axis=0), S, TR)
+        comp = A[0:3]
+        acc = A[3:4]
+        if white_bkgd:
+            comp = comp + (1.0 - acc)
+        resid = comp - tgt
+        loss = jnp.sum(resid * resid) * inv_n
+
+        if emit_sampling:
+            w_out_ref[:, sl] = w.reshape(S, TR)
+            z_out_ref[:, sl] = z_row.reshape(S, TR)
+
+        # ---- backward ----
+        g_comp = (2.0 * inv_n) * resid
+        g3 = pltpu.repeat(g_comp, S, axis=1)
+        g_rgb = g3 * w
+        g_w = jnp.sum(g3 * rgb, axis=0, keepdims=True)
+        if white_bkgd:
+            g_w = g_w + pltpu.repeat(
+                -jnp.sum(g_comp, axis=0, keepdims=True), S, axis=1
+            )
+        g_alpha = g_w * trans
+        g_trans = g_w * alpha
+        suf = suffix_sum_exclusive(g_trans * trans, S, TR)
+        g_one_m = suf / one_m - g_alpha
+        g_sigma = g_one_m * (-(delta) * (one_m - TRANS_EPS))
+
+        grads = [None] * n_wb
+
+        def dense_bwd(g_c, i, h_in_c, keep_in=None):
+            """Record gw/gb for layer i; return upstream grad in
+            compute dtype. keep_in slices the weight so a concat'd
+            constant input's gradient is never materialized."""
+            grads[2 * i] = jax.lax.dot_general(
+                g_c, h_in_c, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=f32,
+            )
+            grads[2 * i + 1] = jnp.sum(g_c.astype(f32), axis=1, keepdims=True)
+            w_full = wb[2 * i][:]
+            w_up = w_full if keep_in is None else w_full[:, :keep_in]
+            return jax.lax.dot_general(
+                w_up.astype(compute_dtype), g_c,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            ).astype(compute_dtype)
+
+        # rgb head -> rgb_in branch.
+        g_rgbpre = (g_rgb * rgb * (1.0 - rgb)).astype(compute_dtype)  # (3, P)
+        g_g1 = dense_bwd(g_rgbpre, I_RGB, g1)  # (rgb_hidden, P)
+        g_a1 = g_g1 * (g1.astype(f32) > 0).astype(compute_dtype)
+        g_h_rgb = dense_bwd(g_a1, I_IN, rgb_in_input, keep_in=hidden)
+
+        # sigma head (gradient masked by its ReLU).
+        g_sigpre = (g_sigma * (sigma > 0)).astype(compute_dtype)  # (1, P)
+        g_h_sig = dense_bwd(g_sigpre, I_SIG, act(n_layers))  # (hidden, P)
+
+        # trunk: output feeds both heads.
+        g = g_h_rgb + g_h_sig
+        for i in reversed(range(n_layers)):
+            # relu mask from the stored post-activation (f32 compare:
+            # Mosaic lacks bf16 vector comparisons)
+            g = g * (act(i + 1).astype(f32) > 0).astype(compute_dtype)
+            h_in = act(i) if i != skip_at else jnp.concatenate(
+                [act(i), enc_scr[:]], axis=0
+            )
+            g = dense_bwd(g, i, h_in, keep_in=hidden if i == skip_at else None)
+        return loss, grads
+
+    # Tile loop with register/VMEM-resident accumulators: weights are
+    # fetched once, outputs written once (see module docstring).
+    if n_tiles <= _UNROLL_TILES:
+        total_loss = None
+        total_grads = None
+        for ti in range(n_tiles):
+            loss, grads = tile_grads(ti)
+            if total_loss is None:
+                total_loss, total_grads = loss, grads
+            else:
+                total_loss = total_loss + loss
+                total_grads = [a + b for a, b in zip(total_grads, grads)]
     else:
-        rgb_in_input = h_trunk
-    g1 = jnp.maximum(dense(rgb_in_input, I_IN), 0.0).astype(compute_dtype)
-    rgb = jax.nn.sigmoid(dense(g1, I_RGB))  # (3, P)
+        loss0, grads0 = tile_grads(0)
 
-    # ---- composite ----
-    one_m = jnp.exp(-sigma * delta) + TRANS_EPS
-    alpha = 1.0 - (one_m - TRANS_EPS)
-    from tinynerf_tpu.kernels.scans import (
-        prefix_product_exclusive,
-        suffix_sum_exclusive,
-        sum_over_samples,
-    )
+        def body(ti, carry):
+            tot_l, tot_g = carry
+            loss, grads = tile_grads(ti)
+            return tot_l + loss, [a + b for a, b in zip(tot_g, grads)]
 
-    trans = prefix_product_exclusive(one_m, S, TR)
-    w = alpha * trans
-    A = sum_over_samples(jnp.concatenate([rgb * w, w], axis=0), S, TR)
-    comp = A[0:3]
-    acc = A[3:4]
-    if white_bkgd:
-        comp = comp + (1.0 - acc)
-    resid = comp - t_ref[:]
-
-    @pl.when(first)
-    def _():
-        loss_ref[0, 0] = 0.0
-
-    loss_ref[0, 0] = loss_ref[0, 0] + jnp.sum(resid * resid) * inv_n
-
-    if emit_sampling:
-        w_out_ref[:] = w.reshape(S, TR)
-        z_out_ref[:] = z_row.reshape(S, TR)
-
-    # ---- backward ----
-    g_comp = (2.0 * inv_n) * resid
-    g3 = pltpu.repeat(g_comp, S, axis=1)
-    g_rgb = g3 * w
-    g_w = jnp.sum(g3 * rgb, axis=0, keepdims=True)
-    if white_bkgd:
-        g_w = g_w + pltpu.repeat(-jnp.sum(g_comp, axis=0, keepdims=True), S, axis=1)
-    g_alpha = g_w * trans
-    g_trans = g_w * alpha
-    suf = suffix_sum_exclusive(g_trans * trans, S, TR)
-    g_one_m = suf / one_m - g_alpha
-    g_sigma = g_one_m * (-(delta) * (one_m - TRANS_EPS))
-
-    def accum(ref, val):
-        @pl.when(first)
-        def _():
-            ref[:] = jnp.zeros_like(ref)
-
-        ref[:] += val
-
-    def dense_bwd(g_c, i, h_in_c, keep_in=None):
-        gw = jax.lax.dot_general(
-            g_c, h_in_c, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=f32,
+        total_loss, total_grads = jax.lax.fori_loop(
+            1, n_tiles, body, (loss0, list(grads0))
         )
-        accum(g_refs[2 * i], gw)
-        accum(g_refs[2 * i + 1], jnp.sum(g_c.astype(f32), axis=1, keepdims=True))
-        w_full = wb[2 * i][:]
-        w_up = w_full if keep_in is None else w_full[:, :keep_in]
-        return jax.lax.dot_general(
-            w_up.astype(compute_dtype), g_c,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        ).astype(compute_dtype)
 
-    hidden = h_trunk.shape[0]
-
-    # rgb head -> rgb_in branch.
-    g_rgbpre = (g_rgb * rgb * (1.0 - rgb)).astype(compute_dtype)  # (3, P)
-    g_g1 = dense_bwd(g_rgbpre, I_RGB, g1)  # (rgb_hidden, P)
-    g_a1 = g_g1 * (g1.astype(f32) > 0).astype(compute_dtype)
-    g_h_rgb = dense_bwd(g_a1, I_IN, rgb_in_input, keep_in=hidden)  # (hidden, P)
-
-    # sigma head (gradient masked by its ReLU).
-    g_sigpre = (g_sigma * (sigma > 0)).astype(compute_dtype)  # (1, P)
-    g_h_sig = dense_bwd(g_sigpre, I_SIG, h_trunk)  # (hidden, P)
-
-    # trunk: output feeds both heads.
-    g = g_h_rgb + g_h_sig
-    for i in reversed(range(n_layers)):
-        g = g * (acts[i + 1].astype(f32) > 0).astype(compute_dtype)
-        h_in = acts[i] if i != skip_at else jnp.concatenate([acts[i], enc_c], axis=0)
-        g = dense_bwd(g, i, h_in, keep_in=hidden if i == skip_at else None)
+    loss_ref[0, 0] = total_loss
+    for ref, g in zip(g_refs, total_grads):
+        ref[:] = g
 
 
 def fused_nerf_pass_grads(
@@ -266,16 +332,13 @@ def fused_nerf_pass_grads(
     wbs = _prepare_nerf_weights(mlp_params, cfg)
     n_layers = cfg.depth
 
-    ray_spec = lambda rows: pl.BlockSpec(
-        (rows, tile_r), lambda i: (0, i), memory_space=pltpu.VMEM
-    )
-    seed_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
-    in_specs = [seed_spec, ray_spec(3), ray_spec(3), ray_spec(3)]
+    in_specs = [seed_spec, full(), full(), full()]
     if z_vals is not None:
         inputs.append(z_vals.astype(jnp.float32).T)  # (S, R)
-        in_specs.append(ray_spec(S))
+        in_specs.append(full())
     in_specs += [full() for _ in wbs]
 
     out_shapes = [jax.ShapeDtypeStruct((1, 1), jnp.float32)]
@@ -285,12 +348,14 @@ def fused_nerf_pass_grads(
         out_specs.append(full())
     if emit_sampling:
         out_shapes.append(jax.ShapeDtypeStruct((S, R), jnp.float32))  # weights
-        out_specs.append(ray_spec(S))
+        out_specs.append(full())
         out_shapes.append(jax.ShapeDtypeStruct((S, R), jnp.float32))  # z
-        out_specs.append(ray_spec(S))
+        out_specs.append(full())
 
     kernel = functools.partial(
         _nerf_train_kernel,
+        TR=tile_r,
+        n_tiles=n_tiles,
         S=S,
         has_z=z_vals is not None,
         emit_sampling=emit_sampling,
@@ -315,14 +380,24 @@ def fused_nerf_pass_grads(
         transcendentals=pts * (6 * cfg.num_freqs + 6),
     )
 
+    P = tile_r * S
+    enc_dim = 3 + 6 * cfg.num_freqs
     outs = pl.pallas_call(
         lambda *a: kernel(*a),
-        grid=(n_tiles,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
+        # Activation store: the fine pass at 2048x192 keeps ~55MB of
+        # bf16 activations per 128-ray tile live through the backward;
+        # v5e has 128MB of physical VMEM and the 16MB scoped default is
+        # a compiler knob. These must be scratch, not SSA values — see
+        # the register-spill note in the kernel.
+        scratch_shapes=[
+            pltpu.VMEM((n_layers, cfg.hidden, P), cfg.compute_dtype),
+            pltpu.VMEM((enc_dim, P), cfg.compute_dtype),
+        ],
         cost_estimate=cost,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
     )(*inputs, *wbs)
 

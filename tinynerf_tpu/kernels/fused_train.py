@@ -115,7 +115,10 @@ def _fused_train_kernel(
         # Stratified depths in-register; jitter via the TPU PRNG in the
         # reference's bins (src/sampling.py:20-25).
         if randomized:
-            pltpu.prng_seed(seed_ref[0, 0] + ti)
+            # Fold (seed, tile) into the hardware PRNG so tile streams
+            # are decorrelated (seed+ti would alias adjacent steps'
+            # streams shifted by one tile).
+            pltpu.prng_seed(seed_ref[0, 0], ti)
             # Mosaic can't cast uint32->f32; keep 24 bits non-negative
             # in int32 (same [0, 1) uniform).
             bits = pltpu.bitcast(pltpu.prng_random_bits((1, P)), jnp.int32)

@@ -113,15 +113,26 @@ def sample_pdf(
         u = jnp.linspace(0.0, 1.0, n_importance, dtype=jnp.float32)
         u = jnp.broadcast_to(u, (n_rays, n_importance))
 
-    # For each u, find the bin such that cdf[i] <= u < cdf[i+1].
-    idx = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
-    below = jnp.clip(idx - 1, 0, n_bins)
-    above = jnp.clip(idx, 0, n_bins)
-
-    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_below = jnp.take_along_axis(bins, below, axis=-1)
-    bins_above = jnp.take_along_axis(bins, above, axis=-1)
+    # For each u, find the bin such that cdf[i] <= u < cdf[i+1], and
+    # read off (cdf, bins) at i and i+1. TPU-first: everything is ONE
+    # (N, n_imp, B+1) broadcast compare + masked min/max reductions —
+    # fully vectorized on the VPU, fused by XLA, no materialized
+    # intermediates. The obvious searchsorted + take_along_axis
+    # formulation lowers to sequential scans / gathers and measures
+    # ~25 ms/step at the canonical 2048x(64->128) recipe — 4x the cost
+    # of the two fused train kernels COMBINED.
+    inf = jnp.float32(jnp.inf)
+    le = cdf[:, None, :] <= u[:, :, None]  # (N, n_imp, B+1)
+    # cdf/bins are sorted, so "entry at idx-1" == max over the <= mask
+    # and "entry at idx" == min over its complement.
+    cdf_below = jnp.max(jnp.where(le, cdf[:, None, :], -inf), axis=-1)
+    cdf_above = jnp.min(jnp.where(le, inf, cdf[:, None, :]), axis=-1)
+    bins_below = jnp.max(jnp.where(le, bins[:, None, :], -inf), axis=-1)
+    bins_above = jnp.min(jnp.where(le, inf, bins[:, None, :]), axis=-1)
+    # u >= cdf[-1] (mask all-True) can only happen through float
+    # round-off; fall back to the last entry (== clip(idx, 0, n_bins)).
+    cdf_above = jnp.where(jnp.isinf(cdf_above), cdf[:, -1:], cdf_above)
+    bins_above = jnp.where(jnp.isinf(bins_above), bins[:, -1:], bins_above)
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < 1e-8, 1.0, denom)
