@@ -63,6 +63,11 @@ class Config:
     fused_train: bool = False  # fused Pallas fwd+bwd train kernel (TPU;
     # ~4x faster steps; jitter via the in-kernel hardware PRNG)
     data_parallel: bool = False  # shard ray batches over all local devices
+    sample_parallel: int = 1  # with data_parallel: size of the mesh's
+    # sample axis (shards the per-ray sample axis / fine union via the
+    # blockwise composite — sequence parallelism)
+    distributed: bool = False  # multi-host: jax.distributed bootstrap
+    # (coordinator from the launcher env; see parallel/mesh.py)
     profile_dir: Optional[str] = None  # jax.profiler trace output
     metrics_path: Optional[str] = None  # JSONL metrics log
     holdout: int = 0  # trailing poses excluded from training, used for

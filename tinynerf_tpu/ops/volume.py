@@ -88,15 +88,20 @@ def volume_render(
 # ---------------------------------------------------------------------------
 
 
-def composite_block_partials(rgb, sigma, z_vals, deltas):
+def composite_block_partials(rgb, sigma, z_vals, deltas, return_weights: bool = False):
     """Summarize one sample block per ray.
 
     Args:
       rgb:    (..., S_blk, 3), sigma/z_vals/deltas: (..., S_blk) —
       deltas must be the *global* deltas sliced to this block (they
       depend on the next block's first z and the 1e10 terminal delta).
+      return_weights: also return the LOCAL weights (..., S_blk) —
+        alpha * within-block transmittance; the global per-sample
+        weights are these scaled by the block's entry transmittance
+        (the exclusive product of preceding blocks' T).
 
-    Returns dict with T (...,), C (..., 3), D (...,), A (...,).
+    Returns dict with T (...,), C (..., 3), D (...,), A (...,)
+    [, local weights].
     """
     rgb = rgb.astype(jnp.float32)
     sigma = sigma.astype(jnp.float32)
@@ -105,12 +110,15 @@ def composite_block_partials(rgb, sigma, z_vals, deltas):
     accum = jnp.cumprod(one_m, axis=-1)
     trans = jnp.concatenate([jnp.ones_like(accum[..., :1]), accum[..., :-1]], axis=-1)
     w = alpha * trans
-    return {
+    partials = {
         "T": accum[..., -1],
         "C": jnp.sum(w[..., None] * rgb, axis=-2),
         "D": jnp.sum(w * z_vals, axis=-1),
         "A": jnp.sum(w, axis=-1),
     }
+    if return_weights:
+        return partials, w
+    return partials
 
 
 def combine_block_partials(partials, white_bkgd: bool = True):

@@ -15,6 +15,7 @@ so the same mesh spans DCN when launched on a multi-host slice.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -64,17 +65,43 @@ def data_sharded(mesh: Mesh, ndim: int = 1) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
 
 
-def initialize_distributed(**kwargs) -> None:
-    """Multi-host bootstrap (jax.distributed.initialize passthrough).
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    **kwargs,
+) -> bool:
+    """Multi-host bootstrap. Returns True iff a multi-process runtime
+    was initialized (or already is).
 
-    On a single host this is a no-op. On a multi-host TPU slice, call
-    once per process before building meshes; jax.devices() then spans
-    the full slice and the same shard_map programs scale over DCN.
+    Resolution order:
+    1. already multi-process (initialize was called earlier) -> True;
+    2. explicit args given -> jax.distributed.initialize with them —
+       errors PROPAGATE (a mistyped coordinator address must fail loud,
+       not fall back to single-process silently);
+    3. a launcher environment is detectable (JAX_COORDINATOR_ADDRESS /
+       Cloud-TPU metadata — jax.distributed's auto-detect inputs) ->
+       argless initialize, errors propagate;
+    4. otherwise: a plain single-process run -> False, no-op.
+
+    After a True return, jax.devices() spans the full slice and the
+    same shard_map programs scale over DCN (`--distributed` in the
+    train driver). jax.process_count() > 1 before initialize is
+    impossible, so step 1 only short-circuits repeat calls.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
-    try:
-        jax.distributed.initialize(**kwargs)
-    except Exception:
-        # Single-process environment (no coordinator): nothing to do.
-        pass
+    if jax._src.distributed.global_state.client is not None:  # repeat call
+        return jax.process_count() > 1
+    explicit = coordinator_address is not None or process_id is not None
+    auto_env = any(
+        os.environ.get(v)
+        for v in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS")
+    )
+    if not (explicit or auto_env):
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        **kwargs,
+    )
+    return jax.process_count() > 1

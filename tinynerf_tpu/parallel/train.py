@@ -77,12 +77,121 @@ def _sharded_loss(params, ro, rd, target, k_jitter, s: TrainSettings, n_sample: 
     return loss, {"loss": loss, "psnr": mse2psnr(loss)}
 
 
+def _sharded_nerf_loss(
+    params, ro, rd, target, key, s: TrainSettings, n_sample: int, cfg, n_fine: int
+):
+    """Hierarchical (coarse+fine) loss with the fine pass's sample-axis
+    union sharded over SAMPLE_AXIS — the "long-context" case the 2-D
+    mesh exists for (SURVEY.md section 5): the fine union (n_samples +
+    n_fine, 192 at the canonical recipe) is the sequence axis; each
+    device runs the MLP only on its sample block and blocks combine via
+    the associative composite (ops/volume.py).
+
+    Semantics match models/nerf.make_hierarchical_loss: mse(coarse) +
+    mse(fine), stop_gradient on the resampling weights, PSNR from the
+    fine composite. Every sample peer computes the identical loss (the
+    jitter/resample keys do not involve the sample index), so the
+    caller's pmean over SAMPLE_AXIS recovers sum-of-block gradient
+    contributions exactly (see make_sharded_train_block).
+    """
+    from tinynerf_tpu.models.nerf import apply_nerf_mlp
+    from tinynerf_tpu.ops.sampling import sample_pdf
+
+    local_rand = ro.shape[0]
+    k_strat, k_pdf = jax.random.split(key)
+
+    if cfg.use_viewdirs:
+        vdirs = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+        d_enc_ray = positional_encoding(vdirs, num_freqs=cfg.num_freqs_dir)
+    else:
+        d_enc_ray = None
+
+    def sharded_pass(mlp_params, z_vals, need_weights: bool):
+        """z_vals (R, S) identical across sample peers -> composite
+        (and optionally the full (R, S) per-sample weights)."""
+        S = z_vals.shape[1]
+        sb = S // n_sample
+        deltas = global_deltas(z_vals, rd)
+        if n_sample > 1:
+            blk = jax.lax.axis_index(SAMPLE_AXIS) * sb
+            z_blk = jax.lax.dynamic_slice_in_dim(z_vals, blk, sb, axis=1)
+            d_blk = jax.lax.dynamic_slice_in_dim(deltas, blk, sb, axis=1)
+        else:
+            z_blk, d_blk = z_vals, deltas
+
+        pts = ro[:, None, :] + rd[:, None, :] * z_blk[..., None]
+        x_enc = positional_encoding(pts.reshape(-1, 3), num_freqs=cfg.num_freqs)
+        d_enc = (
+            jnp.repeat(d_enc_ray, sb, axis=0) if cfg.use_viewdirs else None
+        )
+        rgb, sigma = apply_nerf_mlp(mlp_params, x_enc, d_enc, cfg)
+        partials, w_local = composite_block_partials(
+            rgb.reshape(local_rand, sb, 3),
+            sigma.reshape(local_rand, sb),
+            z_blk,
+            d_blk,
+            return_weights=True,
+        )
+        if n_sample > 1:
+            gathered = jax.tree_util.tree_map(
+                lambda x: jax.lax.all_gather(x, SAMPLE_AXIS, axis=0), partials
+            )
+            comp, _, _ = combine_block_partials(gathered, white_bkgd=s.white_bkgd)
+            if not need_weights:
+                return comp, None
+            # Global per-sample weights: local weights scaled by this
+            # block's entry transmittance, gathered over blocks.
+            T = gathered["T"]  # (B, R)
+            cum = jnp.cumprod(T, axis=0)
+            lead = jnp.concatenate([jnp.ones_like(cum[:1]), cum[:-1]], axis=0)
+            my_lead = lead[jax.lax.axis_index(SAMPLE_AXIS)]  # (R,)
+            w_blocks = jax.lax.all_gather(
+                w_local * my_lead[:, None], SAMPLE_AXIS, axis=0
+            )  # (B, R, sb)
+            weights = jnp.moveaxis(w_blocks, 0, 1).reshape(local_rand, S)
+            return comp, weights
+        stacked = jax.tree_util.tree_map(lambda x: x[None], partials)
+        comp, _, _ = combine_block_partials(stacked, white_bkgd=s.white_bkgd)
+        return comp, (w_local if need_weights else None)
+
+    # --- coarse ---
+    z_c, _ = stratified_samples(
+        s.near, s.far, s.n_samples, ro, rd, randomized=True, key=k_strat
+    )
+    comp_c, weights = sharded_pass(params["coarse"], z_c, need_weights=True)
+
+    # --- hierarchical resample (identical on all sample peers) ---
+    z_mids = 0.5 * (z_c[:, 1:] + z_c[:, :-1])
+    z_f = sample_pdf(
+        z_mids,
+        jax.lax.stop_gradient(weights[:, 1:-1]),
+        n_fine,
+        randomized=True,
+        key=k_pdf,
+    )
+    z_union = jnp.sort(jnp.concatenate([z_c, z_f], axis=-1), axis=-1)
+
+    # --- fine (the long sample axis this mesh exists to shard) ---
+    comp_f, _ = sharded_pass(params["fine"], z_union, need_weights=False)
+
+    t = target.astype(jnp.float32)
+    mse_c = jnp.mean((comp_c - t) ** 2)
+    mse_f = jnp.mean((comp_f - t) ** 2)
+    return mse_c + mse_f, {
+        "loss": mse_f,
+        "psnr": mse2psnr(mse_f),
+        "loss_coarse": mse_c,
+    }
+
+
 def make_sharded_train_block(
     s: TrainSettings,
     block_size: int,
     mesh: Optional[Mesh] = None,
     loss=None,
     grad_fn=None,
+    nerf_cfg=None,
+    n_fine: int = 64,
 ):
     """Jitted sharded K-step block with the same signature as
     training.make_train_block: (params, opt_state, key, step0,
@@ -99,10 +208,22 @@ def make_sharded_train_block(
         raise ValueError(f"n_rand={s.n_rand} not divisible by data axis {n_data}")
     if s.n_samples % n_sample:
         raise ValueError(f"n_samples={s.n_samples} not divisible by sample axis {n_sample}")
-    if loss is not None and n_sample > 1:
+    if nerf_cfg is not None:
+        if loss is not None or grad_fn is not None:
+            raise ValueError("nerf_cfg replaces loss/grad_fn")
+        if (s.n_samples + n_fine) % n_sample:
+            raise ValueError(
+                f"fine union {s.n_samples}+{n_fine} not divisible by "
+                f"sample axis {n_sample}"
+            )
+        loss = lambda p, ro, rd, t, k, s_: _sharded_nerf_loss(
+            p, ro, rd, t, k, s_, n_sample, nerf_cfg, n_fine
+        )
+    elif loss is not None and n_sample > 1:
         raise ValueError(
-            "custom losses (e.g. hierarchical NeRF) are data-parallel only; "
-            "use sample_parallel=1"
+            "generic custom losses are data-parallel only (they are not "
+            "sample-axis aware); pass nerf_cfg for the sharded "
+            "hierarchical loss, or use sample_parallel=1"
         )
     if grad_fn is not None and n_sample > 1:
         raise ValueError("grad_fn (fused train kernel) is data-parallel only")

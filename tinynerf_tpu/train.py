@@ -50,6 +50,16 @@ def main(cfg: Config) -> dict:
     enable_compilation_cache()
     t_start = time.time()
     os.makedirs(cfg.out_dir, exist_ok=True)
+    if cfg.distributed:
+        from tinynerf_tpu.parallel.mesh import initialize_distributed
+
+        if initialize_distributed():
+            print(
+                f"[distributed] process {jax.process_index()}/"
+                f"{jax.process_count()}, {jax.device_count()} global devices"
+            )
+        else:
+            print("[distributed] no coordinator detected: single-process run")
     print(f"[device] {jax.devices()} jax={jax.__version__}")
 
     d = ensure_data(cfg.data_path, allow_synthetic=cfg.allow_synthetic)
@@ -112,11 +122,20 @@ def main(cfg: Config) -> dict:
         print("[train] fused Pallas fwd+bwd kernel enabled")
 
     if cfg.data_parallel and jax.device_count() > 1:
+        from tinynerf_tpu.parallel.mesh import make_mesh
         from tinynerf_tpu.parallel.train import make_sharded_train_block
 
-        train_block_factory = lambda n: make_sharded_train_block(
-            settings, n, loss=loss, grad_fn=grad_fn
-        )
+        mesh = make_mesh(sample_parallel=cfg.sample_parallel)
+        if cfg.model == "nerf" and cfg.sample_parallel > 1:
+            # The sharded hierarchical loss: the fine union is sharded
+            # over the mesh's sample axis (blockwise composite).
+            train_block_factory = lambda n: make_sharded_train_block(
+                settings, n, mesh, nerf_cfg=ncfg, n_fine=cfg.n_fine
+            )
+        else:
+            train_block_factory = lambda n: make_sharded_train_block(
+                settings, n, mesh, loss=loss, grad_fn=grad_fn
+            )
     else:
         train_block_factory = lambda n: make_train_block(
             settings, n, loss=loss, grad_fn=grad_fn
