@@ -44,6 +44,26 @@ def test_fused_kernel_matches_golden():
     np.testing.assert_allclose(got, want, atol=5e-4)
 
 
+def test_frames_renderer_matches_per_pose():
+    """The batched pose-path renderer (one dispatch for all frames,
+    make_gif's path) must produce exactly the per-pose renderer's
+    images."""
+    from tinynerf_tpu.ops.camera import spiral_poses
+    from tinynerf_tpu.render import make_image_renderer
+
+    cfg = TinyNeRFConfig(compute_dtype=jnp.float32)
+    params, _ = init_train_state(jax.random.PRNGKey(42), TrainSettings(model_cfg=cfg))
+    kw = dict(H=16, W=16, focal=20.0, chunk=64, n_samples=32, model_cfg=cfg)
+    poses = spiral_poses(jnp.eye(4).at[2, 3].set(4.0), n_frames=4, radius=0.3)
+    batched = np.asarray(make_image_renderer(frames=True, **kw)(params, poses))
+    single = make_image_renderer(**kw)
+    assert batched.shape == (4, 16, 16, 3)
+    for i in range(4):
+        np.testing.assert_allclose(
+            batched[i], np.asarray(single(params, poses[i])), atol=1e-6
+        )
+
+
 def test_chunk_size_invariance():
     """Chunking must not change pixels (reference guarantee)."""
     cfg = TinyNeRFConfig(compute_dtype=jnp.float32)

@@ -5,10 +5,12 @@ checkpoint (rebuilding the model from its stored cfg), build a 60-frame
 spiral path around pose 0 (radius 0.3), render each frame with the
 chunked renderer, and write outputs/novel_views.gif at fps=15, loop=0.
 
-TPU-native: the per-frame render is one jitted program reused across
-all frames (compile once, 60 executions), optionally through the fused
-Pallas kernels; works for both model families (tinynerf and the
-hierarchical nerf) via the checkpoint's stored model kind.
+TPU-native: ALL frames render inside one jitted program (lax.map over
+the pose batch — one dispatch + one device->host transfer for the
+whole spiral, vs the reference's 60 sequential render_one calls),
+optionally through the fused Pallas kernels; works for both model
+families (tinynerf and the hierarchical nerf) via the checkpoint's
+stored model kind.
 """
 
 from __future__ import annotations
@@ -54,18 +56,16 @@ def main(cfg: GifConfig = GifConfig()) -> None:
     params, renderer, meta = load_model_and_renderer(
         cfg.ckpt_path, H=H, W=W, focal=focal, n_samples=cfg.n_samples,
         near=cfg.near, far=cfg.far, chunk=cfg.chunk, fused=cfg.fused,
+        frames=True,
     )
     print(f"[ckpt] loaded {cfg.ckpt_path} (step {meta['step']}, model {meta['model']})")
 
     path = spiral_poses(poses[0], n_frames=cfg.n_frames, radius=cfg.radius)
-    frames = []
     t0 = time.time()
-    for i in range(cfg.n_frames):
-        frames.append(np.asarray(renderer(params, path[i])))
-        print(f"[render] {i + 1}/{cfg.n_frames}", end="\r")
+    frames = np.asarray(renderer(params, path))  # one dispatch, all frames
     dt = time.time() - t0
-    write_gif(cfg.out_path, frames, fps=cfg.fps, loop=0)
-    print(f"\n[ok] wrote {cfg.out_path} ({cfg.n_frames} frames in {dt:.1f}s)")
+    write_gif(cfg.out_path, list(frames), fps=cfg.fps, loop=0)
+    print(f"[ok] wrote {cfg.out_path} ({cfg.n_frames} frames in {dt:.1f}s)")
 
 
 if __name__ == "__main__":

@@ -127,6 +127,20 @@ def render_image_fn(
     return chunked_over_rays(one_chunk, H, W, focal, pose, chunk)
 
 
+def as_frames_renderer(image_fn):
+    """Batch a pure `(params, pose) -> (H, W, 3)` body over a leading
+    pose axis: jitted `(params, poses (F, 4, 4)) -> (F, H, W, 3)`.
+
+    ONE dispatch renders every frame (lax.map over poses inside the
+    program) — vs the reference's per-frame host loop
+    (src/make_gif.py:24-27), which through a remote-TPU tunnel pays the
+    ~0.27ms dispatch floor plus a device->host image transfer per frame.
+    """
+    return jax.jit(
+        lambda params, poses: jax.lax.map(lambda p: image_fn(params, p), poses)
+    )
+
+
 def make_hierarchical_image_renderer(
     *,
     H: int,
@@ -140,11 +154,13 @@ def make_hierarchical_image_renderer(
     white_bkgd: bool = True,
     nerf_cfg=None,
     use_fused: bool = False,
+    frames: bool = False,
 ):
     """Jitted `(params, pose) -> (H, W, 3)` renderer for the full NeRF
     (coarse/fine) model: the fine composite is the output image.
     use_fused routes both MLP passes through the fused Pallas pipeline
-    (kernels/fused_nerf.py)."""
+    (kernels/fused_nerf.py). frames=True instead returns the batched
+    `(params, poses (F, 4, 4)) -> (F, H, W, 3)` variant."""
     from tinynerf_tpu.models.nerf import NeRFConfig, render_rays_hierarchical
 
     nerf_cfg = nerf_cfg or NeRFConfig()
@@ -184,7 +200,7 @@ def make_hierarchical_image_renderer(
 
         return chunked_over_rays(one_chunk, H, W, float(focal), pose, chunk)
 
-    return jax.jit(fn)
+    return as_frames_renderer(fn) if frames else jax.jit(fn)
 
 
 def make_image_renderer(
@@ -200,8 +216,11 @@ def make_image_renderer(
     white_bkgd: bool = True,
     model_cfg: TinyNeRFConfig = TinyNeRFConfig(),
     use_fused: bool = False,
+    frames: bool = False,
 ):
-    """Build a jitted `(params, pose) -> (H, W, 3)` renderer."""
+    """Build a jitted `(params, pose) -> (H, W, 3)` renderer, or with
+    frames=True the batched `(params, poses (F, 4, 4)) -> (F, H, W, 3)`
+    variant (one dispatch for a whole camera path)."""
     fn = functools.partial(
         render_image_fn,
         H=H,
@@ -216,4 +235,4 @@ def make_image_renderer(
         model_cfg=model_cfg,
         use_fused=use_fused,
     )
-    return jax.jit(fn)
+    return as_frames_renderer(fn) if frames else jax.jit(fn)

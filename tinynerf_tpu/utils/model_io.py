@@ -26,8 +26,10 @@ def load_model_and_renderer(
     far: float = 6.0,
     chunk: int = 8192,
     fused: bool = False,
+    frames: bool = False,
 ):
-    """-> (params, renderer, meta) with renderer: (params, pose) -> image."""
+    """-> (params, renderer, meta) with renderer: (params, pose) -> image
+    (or, with frames=True, (params, poses (F,4,4)) -> (F,H,W,3))."""
     from tinynerf_tpu.models.tinynerf import TinyNeRFConfig
     from tinynerf_tpu.ops.encoding import encoding_dim
     from tinynerf_tpu.render import make_hierarchical_image_renderer, make_image_renderer
@@ -59,6 +61,7 @@ def load_model_and_renderer(
             H=H, W=W, focal=focal, chunk=min(chunk, 4096),
             n_coarse=n_samples, n_fine=mcfg.get("n_fine", 64),
             near=near, far=far, nerf_cfg=ncfg, use_fused=fused,
+            frames=frames,
         )
     else:
         model_cfg = TinyNeRFConfig(
@@ -72,7 +75,7 @@ def load_model_and_renderer(
         renderer = make_image_renderer(
             H=H, W=W, focal=focal, chunk=chunk, n_samples=n_samples,
             near=near, far=far, num_freqs=num_freqs, model_cfg=model_cfg,
-            use_fused=fused,
+            use_fused=fused, frames=frames,
         )
     params, _, step, _ = ckpt_lib.restore_checkpoint(ckpt_path, params_t, opt_t)
     meta["step"] = step
