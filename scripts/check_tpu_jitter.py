@@ -22,7 +22,10 @@ in the jitter path. Part of the verify flow (VERDICT r1 item 3a).
 
 from __future__ import annotations
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
