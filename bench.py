@@ -67,7 +67,11 @@ def _measure_train_rays_per_sec(params, opt_state, block, data, n_rand, block_si
     return n_rand * steps / best_dt, best_dt / steps, timer.stats()
 
 
-def _measure_render_rays_per_sec(renderer, params, pose, hw, reps=10):
+def _measure_render_rays_per_sec(renderer, params, pose, hw, reps=50):
+    """End-to-end per-image render throughput (includes per-call
+    dispatch). reps must be large: the tunnel's ~25ms round-trip is paid
+    once per synced batch of reps, so reps=10 buries the device time
+    (the round-1 'render is slow' reading was exactly this artifact)."""
     img = renderer(params, pose)
     _sync(img)
     best_dt = float("inf")
@@ -78,6 +82,29 @@ def _measure_render_rays_per_sec(renderer, params, pose, hw, reps=10):
         _sync(img)
         best_dt = min(best_dt, time.perf_counter() - t0)
     return hw * reps / best_dt
+
+
+def _measure_render_kernel_scan(params, rays_o, rays_d, n_iters=400):
+    """Device-side render-kernel throughput: n_iters fused-kernel
+    invocations inside ONE jitted lax.scan — no per-call dispatch, one
+    tunnel round-trip total. This is the MXU ceiling the batched-frames
+    and chunked renderers build on."""
+    from tinynerf_tpu.kernels.fused_render import fused_render_rays
+
+    R = rays_o.shape[0]
+
+    def body(c, _):
+        out = fused_render_rays(params, rays_o + c * 0.0, rays_d, n_samples=64)
+        return c, out[0, 0]
+
+    f = jax.jit(lambda c: jax.lax.scan(body, c, None, length=n_iters)[1])
+    _sync(f(jnp.float32(0.0)))
+    best_dt = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _sync(f(jnp.float32(0.0)))
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    return R * n_iters / best_dt
 
 
 def _torch_cpu_baseline() -> float:
@@ -189,6 +216,13 @@ def main() -> None:
         else None
     )
 
+    # Device-side kernel ceiling: fused render at an 8192-ray batch,
+    # 400 invocations per dispatch (one tunnel round-trip total).
+    render_rps_kernel = render_mfu_kernel = None
+    if on_tpu:
+        ro0, rd0 = rays_o_all[0][: 8192], rays_d_all[0][: 8192]
+        render_rps_kernel = _measure_render_kernel_scan(params2, ro0, rd0)
+
     # Batched camera-path rendering (make_gif's path): all frames in ONE
     # dispatch — the reference loops render_one per frame
     # (src/make_gif.py:24-27, its long pole).
@@ -213,6 +247,8 @@ def main() -> None:
     render_mfu = (
         2.0 * mac * cfg.n_samples * render_rps_frames / 197e12 if on_tpu else None
     )
+    if render_rps_kernel:
+        render_mfu_kernel = 2.0 * mac * cfg.n_samples * render_rps_kernel / 197e12
 
     baseline = _torch_cpu_baseline()
     best_train = max(train_rps, train_rps_fused or 0.0)
@@ -237,7 +273,13 @@ def main() -> None:
                 round(render_rps_fused, 1) if render_rps_fused else None
             ),
             "render_rays_per_sec_frames_batched": round(render_rps_frames, 1),
-            "render_mfu": round(render_mfu, 4) if render_mfu else None,
+            "render_rays_per_sec_kernel_scan": (
+                round(render_rps_kernel, 1) if render_rps_kernel else None
+            ),
+            "render_mfu_frames": round(render_mfu, 4) if render_mfu else None,
+            "render_mfu_kernel": (
+                round(render_mfu_kernel, 4) if render_mfu_kernel else None
+            ),
             "train_step_ms": round(step_time * 1e3, 3),
             "train_step_ms_fused": (
                 round(step_time_fused * 1e3, 3) if step_time_fused else None

@@ -64,6 +64,29 @@ def test_frames_renderer_matches_per_pose():
         )
 
 
+def test_hierarchical_frames_renderer_matches_per_pose():
+    """Same contract for the full-NeRF (coarse/fine) renderer."""
+    from tinynerf_tpu.models.nerf import NeRFConfig, init_nerf
+    from tinynerf_tpu.ops.camera import spiral_poses
+    from tinynerf_tpu.render import make_hierarchical_image_renderer
+
+    ncfg = NeRFConfig(hidden=32, depth=3, compute_dtype=jnp.float32)
+    params = init_nerf(jax.random.PRNGKey(7), ncfg)
+    kw = dict(
+        H=8, W=8, focal=10.0, chunk=32, n_coarse=16, n_fine=16, nerf_cfg=ncfg
+    )
+    poses = spiral_poses(jnp.eye(4).at[2, 3].set(4.0), n_frames=3, radius=0.3)
+    batched = np.asarray(
+        make_hierarchical_image_renderer(frames=True, **kw)(params, poses)
+    )
+    single = make_hierarchical_image_renderer(**kw)
+    assert batched.shape == (3, 8, 8, 3)
+    for i in range(3):
+        np.testing.assert_allclose(
+            batched[i], np.asarray(single(params, poses[i])), atol=1e-6
+        )
+
+
 def test_chunk_size_invariance():
     """Chunking must not change pixels (reference guarantee)."""
     cfg = TinyNeRFConfig(compute_dtype=jnp.float32)

@@ -81,10 +81,12 @@ def _iota2(shape, dim):
 
 
 def _fused_kernel(
-    o_ref,  # (3, TR) ray origins (transposed)
-    d_ref,  # (3, TR) ray directions (transposed)
+    o_ref,  # (3, R) ray origins (transposed), all tiles
+    d_ref,  # (3, R) ray directions
     *wb_refs,  # transposed weights (out, in) and biases (out, 1)
-    out_ref,  # (4, TR): comp_r, comp_g, comp_b, acc
+    out_ref,  # (4, R): comp_r, comp_g, comp_b, acc
+    TR: int,
+    n_tiles: int,
     S: int,
     num_freqs: int,
     n_layers: int,
@@ -93,7 +95,11 @@ def _fused_kernel(
     far: float,
     compute_dtype,
 ):
-    TR = o_ref.shape[1]
+    """SINGLE grid step with an in-kernel tile loop (same structure as
+    fused_train): a multi-step grid re-issues every weight-block fetch
+    per tile and pays per-step sequencing overhead — measurable on a
+    forward-only kernel where each 128-ray tile is only ~5us of MXU
+    work. Here weights load once and tiles stream through registers."""
     P = TR * S
     L = num_freqs
     f32 = jnp.float32
@@ -106,20 +112,13 @@ def _fused_kernel(
     s_row = _iota2((1, P), 1) // TR  # sample slot per point
     t = s_row.astype(f32) / (S - 1)
     z_row = near * (1.0 - t) + far * t  # (1, P)
-
-    norm = jnp.sqrt(jnp.sum(d_ref[:] * d_ref[:], axis=0, keepdims=True))  # (1, TR)
-    odn = pltpu.repeat(
-        jnp.concatenate([o_ref[:], d_ref[:], norm], axis=0), S, axis=1
-    )  # (7, P): S concatenated copies == sample-major expansion
-    pts = odn[0:3] + odn[3:6] * z_row  # (3, P)
-
     # Fourier features: theta = B @ pts with B[k*3+c, c] = 2^k (exact
     # power-of-two entries).
     r_ids = _iota2((3 * L, 3), 0)
     c_ids = _iota2((3 * L, 3), 1)
     B = jnp.where(r_ids % 3 == c_ids, jnp.exp2((r_ids // 3).astype(f32)), 0.0)
-    theta = jnp.dot(B, pts, preferred_element_type=f32, precision=HI)  # (3L, P)
-    enc = jnp.concatenate([pts, jnp.sin(theta), jnp.cos(theta)], axis=0)  # (E, P)
+
+    from tinynerf_tpu.kernels.scans import prefix_product_exclusive, sum_over_samples
 
     def dense(h, w_ref, b_ref):  # W^T (out,in) @ h (in,P) + b (out,1)
         return (
@@ -131,34 +130,54 @@ def _fused_kernel(
             + b_ref[:]
         )
 
-    h = enc
-    for i in range(n_layers):
-        h = jnp.maximum(dense(h, wb_refs[2 * i], wb_refs[2 * i + 1]), 0.0)
-        if i == skip_at - 1:
-            h = jnp.concatenate([h, enc], axis=0)
-    head4 = dense(h, wb_refs[2 * n_layers], wb_refs[2 * n_layers + 1])  # (4, P)
-    rgb = jax.nn.sigmoid(head4[0:3])
-    sigma = jnp.maximum(head4[3:4], 0.0)  # (1, P)
+    def tile(ti):
+        start = pl.multiple_of(ti * TR, TR) if not isinstance(ti, int) else ti * TR
+        sl = pl.ds(start, TR)
+        o_t, d_t = o_ref[:, sl], d_ref[:, sl]
 
-    # Deltas: uniform spacing except the 1e10 terminal, scaled by ||d||
-    # (ref src/volume.py:18-23).
-    base = (far - near) / (S - 1)
-    delta = jnp.where(s_row == S - 1, DELTA_INF, base) * odn[6:7]
+        norm = jnp.sqrt(jnp.sum(d_t * d_t, axis=0, keepdims=True))  # (1, TR)
+        odn = pltpu.repeat(
+            jnp.concatenate([o_t, d_t, norm], axis=0), S, axis=1
+        )  # (7, P): S concatenated copies == sample-major expansion
+        pts = odn[0:3] + odn[3:6] * z_row  # (3, P)
+        theta = jnp.dot(B, pts, preferred_element_type=f32, precision=HI)  # (3L, P)
+        enc = jnp.concatenate([pts, jnp.sin(theta), jnp.cos(theta)], axis=0)
 
-    # one_minus_alpha = exp(-sigma*delta); +eps matches the reference's
-    # cumprod(1 - alpha + 1e-10) exactly.
-    one_m = jnp.exp(-sigma * delta) + TRANS_EPS  # (1, P)
-    alpha = 1.0 - (one_m - TRANS_EPS)
+        h = enc
+        for i in range(n_layers):
+            h = jnp.maximum(dense(h, wb_refs[2 * i], wb_refs[2 * i + 1]), 0.0)
+            if i == skip_at - 1:
+                h = jnp.concatenate([h, enc], axis=0)
+        head4 = dense(h, wb_refs[2 * n_layers], wb_refs[2 * n_layers + 1])  # (4, P)
+        rgb = jax.nn.sigmoid(head4[0:3])
+        sigma = jnp.maximum(head4[3:4], 0.0)  # (1, P)
 
-    # Per-ray exclusive transmittance + reduction in the dense (S, TR)
-    # layout (kernels/scans.py).
-    from tinynerf_tpu.kernels.scans import prefix_product_exclusive, sum_over_samples
+        # Deltas: uniform spacing except the 1e10 terminal, scaled by
+        # ||d|| (ref src/volume.py:18-23).
+        base = (far - near) / (S - 1)
+        delta = jnp.where(s_row == S - 1, DELTA_INF, base) * odn[6:7]
 
-    trans = prefix_product_exclusive(one_m, S, TR)
-    w = alpha * trans  # (1, P)
-    out_ref[:] = sum_over_samples(
-        jnp.concatenate([rgb * w, w], axis=0), S, TR
-    )  # (4, TR)
+        # one_minus_alpha = exp(-sigma*delta); +eps matches the
+        # reference's cumprod(1 - alpha + 1e-10) exactly.
+        one_m = jnp.exp(-sigma * delta) + TRANS_EPS  # (1, P)
+        alpha = 1.0 - (one_m - TRANS_EPS)
+
+        # Per-ray exclusive transmittance + reduction in the dense
+        # (S, TR) layout (kernels/scans.py).
+        trans = prefix_product_exclusive(one_m, S, TR)
+        w = alpha * trans  # (1, P)
+        out_ref[:, sl] = sum_over_samples(
+            jnp.concatenate([rgb * w, w], axis=0), S, TR
+        )  # (4, TR)
+
+    # Unroll small tile counts (lets the scheduler interleave); beyond
+    # ~16 use fori_loop — unrolling 30+ tile bodies hangs Mosaic
+    # compilation for minutes (CLAUDE.md gotcha).
+    if n_tiles <= 16:
+        for ti in range(n_tiles):
+            tile(ti)
+    else:
+        jax.lax.fori_loop(0, n_tiles, lambda ti, c: (tile(ti), c)[1], 0)
 
 
 def _prepare_weights(params, num_freqs: int, skip_at: int):
@@ -227,6 +246,8 @@ def fused_render_rays(
 
     kernel = functools.partial(
         _fused_kernel,
+        TR=tile_r,
+        n_tiles=n_tiles,
         S=S,
         num_freqs=num_freqs,
         n_layers=model_cfg.depth,
@@ -235,11 +256,6 @@ def fused_render_rays(
         far=float(far),
         compute_dtype=model_cfg.compute_dtype,
     )
-
-    def tile_spec(rows):
-        return pl.BlockSpec(
-            (rows, tile_r), lambda i: (0, i), memory_space=pltpu.VMEM
-        )
 
     full_spec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
 
@@ -253,11 +269,11 @@ def fused_render_rays(
 
     out = pl.pallas_call(
         lambda o, d, *wb_and_out: kernel(o, d, *wb_and_out[:-1], out_ref=wb_and_out[-1]),
-        grid=(n_tiles,),
-        in_specs=[tile_spec(3), tile_spec(3)] + [full_spec() for _ in wbs],
-        out_specs=tile_spec(4),
+        in_specs=[full_spec(), full_spec()] + [full_spec() for _ in wbs],
+        out_specs=full_spec(),
         out_shape=jax.ShapeDtypeStruct((4, R + pad), jnp.float32),
         cost_estimate=cost,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(o_t, d_t, *wbs)
 
