@@ -77,6 +77,38 @@ class TestCheckpoint:
         with pytest.raises(ValueError):
             restore_checkpoint(path, bad_template, opt)
 
+    def test_params_only_restore_ignores_optimizer_structure(self, tmp_path):
+        """Render-only consumers (eval CLI, make_gif) must load
+        checkpoints written under ANY optimizer configuration: a
+        --lr-decay-steps run stores a different optax state structure,
+        which restore_checkpoint rightly rejects but restore_params
+        must not even look at. Regression: the round-2 lr-decay quality
+        checkpoint was unreadable by the eval CLI."""
+        from tinynerf_tpu.models.tinynerf import TinyNeRFConfig
+        from tinynerf_tpu.ops.encoding import encoding_dim
+        from tinynerf_tpu.training import TrainSettings, init_train_state
+        from tinynerf_tpu.utils.checkpoint import restore_params
+
+        s_decay = TrainSettings(
+            model_cfg=TinyNeRFConfig(in_dim=encoding_dim(3), hidden=8),
+            num_freqs=3, lr_decay_steps=1000,
+        )
+        params, opt_decay = init_train_state(jax.random.PRNGKey(0), s_decay)
+        path = str(tmp_path / "decay.npz")
+        save_checkpoint(path, params, opt_decay, 7, meta={"cfg": {"hidden": 8}})
+
+        # Full restore against a constant-lr template: must reject...
+        p_t, o_t = self._state(seed=9)
+        with pytest.raises(ValueError, match="optimizer-state"):
+            restore_checkpoint(path, p_t, o_t)
+        # ...params-only restore: must succeed and round-trip exactly.
+        p2, step, meta = restore_params(path, p_t)
+        assert step == 7 and meta["cfg"]["hidden"] == 8
+        for a, b in zip(
+            jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(p2)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_atomic_no_partial_file(self, tmp_path):
         # The temp file is renamed only on success; directory stays clean.
         params, opt = self._state()

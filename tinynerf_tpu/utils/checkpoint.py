@@ -111,6 +111,42 @@ def restore_checkpoint(path: str, params_template, opt_state_template):
     return params, opt_state, step, info["meta"]
 
 
+def restore_params(path: str, params_template):
+    """Load ONLY the model params (+ step, meta) from a checkpoint.
+
+    For render-only consumers (eval CLI, make_gif): the optimizer state
+    is ignored entirely, so checkpoints written under any optimizer
+    configuration (e.g. --lr-decay-steps changes the optax state
+    structure) load interchangeably. restore_checkpoint would reject
+    them on the opt-state fingerprint even though rendering never
+    touches it."""
+    with np.load(path, allow_pickle=False) as z:
+        info = json.loads(str(z["meta"]))
+        p_leaves, p_def, p_struct = _flatten(params_template)
+        if info["param_struct"] != p_struct or info["n_params"] != len(p_leaves):
+            raise ValueError(
+                "checkpoint param structure mismatch: "
+                f"stored {info['param_struct']} vs template {p_struct}"
+            )
+        paths = [
+            jax.tree_util.keystr(kp)
+            for kp, _ in jax.tree_util.tree_flatten_with_path(params_template)[0]
+        ]
+        out = []
+        for i, t in enumerate(p_leaves):
+            arr = np.asarray(z[f"param_{i}"])
+            tmpl = np.asarray(t)
+            if arr.shape != tmpl.shape:
+                raise ValueError(
+                    f"checkpoint param leaf {paths[i]} has shape "
+                    f"{arr.shape} but the template (current config) "
+                    f"expects {tmpl.shape} — config/checkpoint mismatch"
+                )
+            out.append(arr.astype(tmpl.dtype))
+        step = int(z["step"])
+    return jax.tree_util.tree_unflatten(p_def, out), step, info["meta"]
+
+
 def latest_exists(path: str) -> bool:
     return os.path.exists(path)
 

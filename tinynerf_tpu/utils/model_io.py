@@ -33,7 +33,6 @@ def load_model_and_renderer(
     from tinynerf_tpu.models.tinynerf import TinyNeRFConfig
     from tinynerf_tpu.ops.encoding import encoding_dim
     from tinynerf_tpu.render import make_hierarchical_image_renderer, make_image_renderer
-    from tinynerf_tpu.training import TrainSettings, init_train_state
     from tinynerf_tpu.utils import checkpoint as ckpt_lib
 
     with np.load(ckpt_path, allow_pickle=False) as z:
@@ -53,10 +52,7 @@ def load_model_and_renderer(
             skip_at=mcfg["skip_at"],
             rgb_hidden=mcfg.get("rgb_hidden", 64),
         )
-        settings = TrainSettings(num_freqs=num_freqs, n_samples=n_samples)
-        params_t, opt_t = init_train_state(
-            jax.random.PRNGKey(0), settings, init_fn=lambda k: init_nerf(k, ncfg)
-        )
+        params_t = init_nerf(jax.random.PRNGKey(0), ncfg)
         renderer = make_hierarchical_image_renderer(
             H=H, W=W, focal=focal, chunk=min(chunk, 4096),
             n_coarse=n_samples, n_fine=mcfg.get("n_fine", 64),
@@ -70,14 +66,18 @@ def load_model_and_renderer(
             depth=mcfg["depth"],
             skip_at=mcfg["skip_at"],
         )
-        settings = TrainSettings(num_freqs=num_freqs, model_cfg=model_cfg)
-        params_t, opt_t = init_train_state(jax.random.PRNGKey(0), settings)
+        from tinynerf_tpu.models.tinynerf import init_tinynerf
+
+        params_t = init_tinynerf(jax.random.PRNGKey(0), model_cfg)
         renderer = make_image_renderer(
             H=H, W=W, focal=focal, chunk=chunk, n_samples=n_samples,
             near=near, far=far, num_freqs=num_freqs, model_cfg=model_cfg,
             use_fused=fused, frames=frames,
         )
-    params, _, step, _ = ckpt_lib.restore_checkpoint(ckpt_path, params_t, opt_t)
+    # Params-only restore: render-only consumers must accept checkpoints
+    # written under ANY optimizer configuration (--lr-decay-steps changes
+    # the optax state structure; restore_checkpoint would reject it).
+    params, step, _ = ckpt_lib.restore_params(ckpt_path, params_t)
     meta["step"] = step
     meta["model"] = model_kind
     return params, renderer, meta
