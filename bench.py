@@ -94,8 +94,12 @@ def _measure_render_kernel_scan(params, rays_o, rays_d, n_iters=400):
     R = rays_o.shape[0]
 
     def body(c, _):
-        out = fused_render_rays(params, rays_o + c * 0.0, rays_d, n_samples=64)
-        return c, out[0, 0]
+        # The ray perturbation is numerically nil but a TRUE loop-carried
+        # dependency: with an invariant input (`+ c * 0.0`) XLA hoists
+        # the whole render out of the scan and the "throughput" measures
+        # one render amortized over n_iters.
+        out = fused_render_rays(params, rays_o + c * 1e-30, rays_d, n_samples=64)
+        return out[0, 0], out[0, 0]
 
     f = jax.jit(lambda c: jax.lax.scan(body, c, None, length=n_iters)[1])
     _sync(f(jnp.float32(0.0)))
