@@ -18,6 +18,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -61,8 +62,14 @@ def main(cfg: GifConfig = GifConfig()) -> None:
     print(f"[ckpt] loaded {cfg.ckpt_path} (step {meta['step']}, model {meta['model']})")
 
     path = spiral_poses(poses[0], n_frames=cfg.n_frames, radius=cfg.radius)
+    # Quantize to uint8 ON DEVICE: the GIF needs nothing more, and it
+    # shrinks the device->host transfer 4x (same truncation the host
+    # path applies, so pixels are bit-identical).
+    quantized = jax.jit(
+        lambda p, x: (jnp.clip(renderer(p, x), 0.0, 1.0) * 255).astype(jnp.uint8)
+    )
     t0 = time.time()
-    frames = np.asarray(renderer(params, path))  # one dispatch, all frames
+    frames = np.asarray(quantized(params, path))  # one dispatch, all frames
     dt = time.time() - t0
     write_gif(cfg.out_path, list(frames), fps=cfg.fps, loop=0)
     print(f"[ok] wrote {cfg.out_path} ({cfg.n_frames} frames in {dt:.1f}s)")

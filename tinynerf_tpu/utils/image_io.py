@@ -14,9 +14,14 @@ import numpy as np
 
 
 def to_uint8(img) -> np.ndarray:
-    """[0,1] float image -> uint8, matching (img * 255).astype(uint8)."""
-    arr = np.asarray(img, dtype=np.float32)
-    return (np.clip(arr, 0.0, 1.0) * 255).astype(np.uint8)
+    """[0,1] float image -> uint8, matching (img * 255).astype(uint8).
+
+    uint8 inputs pass through unchanged (renderers may quantize on
+    device to shrink the device->host transfer 4x)."""
+    arr = np.asarray(img)
+    if arr.dtype == np.uint8:
+        return arr
+    return (np.clip(arr.astype(np.float32), 0.0, 1.0) * 255).astype(np.uint8)
 
 
 def write_png(path: str, img) -> None:
