@@ -64,6 +64,23 @@ def test_frames_renderer_matches_per_pose():
         )
 
 
+def test_frames_renderer_fused_path_matches():
+    """frames=True composed with the fused Pallas kernel (make_gif's
+    TPU configuration) must match the unfused batched render."""
+    from tinynerf_tpu.ops.camera import spiral_poses
+    from tinynerf_tpu.render import make_image_renderer
+
+    cfg = TinyNeRFConfig(compute_dtype=jnp.float32)
+    params, _ = init_train_state(jax.random.PRNGKey(42), TrainSettings(model_cfg=cfg))
+    kw = dict(H=16, W=16, focal=20.0, chunk=128, n_samples=32, model_cfg=cfg)
+    poses = spiral_poses(jnp.eye(4).at[2, 3].set(4.0), n_frames=2, radius=0.3)
+    plain = np.asarray(make_image_renderer(frames=True, **kw)(params, poses))
+    fused = np.asarray(
+        make_image_renderer(frames=True, use_fused=True, **kw)(params, poses)
+    )
+    np.testing.assert_allclose(fused, plain, atol=5e-4)
+
+
 def test_hierarchical_frames_renderer_matches_per_pose():
     """Same contract for the full-NeRF (coarse/fine) renderer."""
     from tinynerf_tpu.models.nerf import NeRFConfig, init_nerf
