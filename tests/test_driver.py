@@ -156,6 +156,29 @@ def test_unknown_model_rejected(tiny_npz, tmp_path):
         train.main(_cfg(tiny_npz, tmp_path, model="bogus"))
 
 
+def test_fused_train_with_sample_parallel_rejected(tiny_npz, tmp_path):
+    """--fused-train + --sample-parallel > 1 used to SILENTLY drop the
+    fused kernel and train the XLA sharded loss (VERDICT r2 weak #3);
+    it must fail loud instead."""
+    from tinynerf_tpu import train
+
+    cfg = _cfg(
+        tiny_npz, tmp_path, model="nerf", n_fine=8, fused_train=True,
+        data_parallel=True, sample_parallel=2,
+    )
+    with pytest.raises(ValueError, match="fused-train"):
+        train.main(cfg)
+
+
+def test_sample_parallel_without_data_parallel_rejected(tiny_npz, tmp_path):
+    """--sample-parallel alone used to silently run unsharded (ADVICE
+    r2): the mesh only exists inside the data_parallel branch."""
+    from tinynerf_tpu import train
+
+    with pytest.raises(ValueError, match="data-parallel"):
+        train.main(_cfg(tiny_npz, tmp_path, sample_parallel=2))
+
+
 def test_eval_cli_from_checkpoint(tiny_npz, tmp_path):
     from tinynerf_tpu import eval as eval_mod, train
 

@@ -16,6 +16,7 @@ so the same mesh spans DCN when launched on a multi-host slice.
 from __future__ import annotations
 
 import os
+import warnings
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -72,36 +73,62 @@ def initialize_distributed(
     **kwargs,
 ) -> bool:
     """Multi-host bootstrap. Returns True iff a multi-process runtime
-    was initialized (or already is).
+    was initialized (or already is). Calling this at all IS the explicit
+    request for distributed mode (`--distributed` in the train driver).
 
     Resolution order:
-    1. already multi-process (initialize was called earlier) -> True;
+    1. already initialized (repeat call) -> report current multiness;
     2. explicit args given -> jax.distributed.initialize with them —
        errors PROPAGATE (a mistyped coordinator address must fail loud,
        not fall back to single-process silently);
-    3. a launcher environment is detectable (JAX_COORDINATOR_ADDRESS /
-       Cloud-TPU metadata — jax.distributed's auto-detect inputs) ->
-       argless initialize, errors propagate;
-    4. otherwise: a plain single-process run -> False, no-op.
+    3. otherwise run JAX's OWN cluster auto-detection (argless
+       initialize: coordinator env vars, Cloud-TPU metadata, SLURM,
+       OMPI, k8s...) — strictly more complete than checking env vars
+       by hand. Exactly one failure is graceful: the "no cluster
+       detected anywhere" ValueError, which means a plain
+       single-process run -> False. Any other error (unreachable
+       coordinator, mismatched process counts) propagates.
 
     After a True return, jax.devices() spans the full slice and the
-    same shard_map programs scale over DCN (`--distributed` in the
-    train driver). jax.process_count() > 1 before initialize is
-    impossible, so step 1 only short-circuits repeat calls.
+    same shard_map programs scale over DCN.
     """
-    if jax._src.distributed.global_state.client is not None:  # repeat call
+    if jax.distributed.is_initialized():  # repeat call
         return jax.process_count() > 1
     explicit = coordinator_address is not None or process_id is not None
-    auto_env = any(
-        os.environ.get(v)
-        for v in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS")
-    )
-    if not (explicit or auto_env):
+    if explicit:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+            **kwargs,
+        )
+        return jax.process_count() > 1
+    try:
+        jax.distributed.initialize(**kwargs)
+    except ValueError as e:
+        # jax's signal for "auto-detection found no cluster at all";
+        # anything else is a real bootstrap failure and must surface.
+        if "coordinator_address" in str(e):
+            return False
+        raise
+    except RuntimeError as e:
+        if "backend" not in str(e):
+            raise
+        # XLA backends initialized before bootstrap could run (e.g. a
+        # sitecustomize probed jax.devices() at interpreter start), so
+        # auto-detection can no longer execute. If a launcher clearly
+        # set up a cluster this would silently train with wrong global
+        # batch semantics — fail loud; otherwise it is a plain
+        # single-process run.
+        if any(
+            os.environ.get(v)
+            for v in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS")
+        ):
+            raise
+        warnings.warn(
+            "distributed bootstrap skipped: XLA backends were already "
+            "initialized before initialize_distributed() ran; call it "
+            "before any jax.devices()/computation to span multiple hosts"
+        )
         return False
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-        **kwargs,
-    )
     return jax.process_count() > 1

@@ -109,6 +109,31 @@ def main(cfg: Config) -> dict:
         pixels = pixels[:n_train]
         print(f"[eval] holding out poses {n_train}..{n_images - 1}")
 
+    # Parallelism flag validation: misconfigurations must fail loud,
+    # never silently train a different layout than the one requested.
+    if cfg.sample_parallel > 1:
+        if cfg.fused_train:
+            raise ValueError(
+                "--fused-train is incompatible with --sample-parallel > 1: "
+                "the fused kernels stream sample blocks through VMEM "
+                "in-kernel (large sample counts fit on one device), while "
+                "--sample-parallel shards samples over the mesh via the XLA "
+                "blockwise composite. Pick one: drop --sample-parallel to "
+                "keep the fused kernels, or drop --fused-train to shard "
+                "the sample axis."
+            )
+        if not cfg.data_parallel:
+            raise ValueError(
+                "--sample-parallel > 1 requires --data-parallel: the sample "
+                "axis lives on the ('data','sample') mesh (without it "
+                "training would silently run unsharded)"
+            )
+        if jax.device_count() == 1:
+            raise ValueError(
+                "--sample-parallel > 1 needs more than one device "
+                f"(found {jax.device_count()})"
+            )
+
     grad_fn = None
     if cfg.fused_train:
         if cfg.model == "nerf":
