@@ -295,6 +295,45 @@ def _nerf_train_kernel(
         ref[:] = g
 
 
+def kernel_grads_to_pytree(g_kernel, cfg: NeRFConfig):
+    """Map kernel-layout gradient arrays back to the model pytree
+    (inverse of _prepare_nerf_weights: transpose + inverse row
+    permutations). Shared by the monolithic and streamed kernels."""
+    n_layers = cfg.depth
+    perm = _encode_permutation(cfg.num_freqs)
+    inv = np.argsort(perm)
+    hidden = cfg.hidden
+    layers = []
+    for i in range(n_layers):
+        gw = g_kernel[2 * i].T
+        if i == 0:
+            gw = jnp.take(gw, inv, axis=0)
+        elif i == cfg.skip_at:
+            gw = jnp.concatenate(
+                [gw[:hidden], jnp.take(gw[hidden:], inv, axis=0)], axis=0
+            )
+        layers.append({"w": gw, "b": g_kernel[2 * i + 1][:, 0]})
+    gs = {
+        "layers": layers,
+        "sigma": {
+            "w": g_kernel[2 * n_layers].T,
+            "b": g_kernel[2 * n_layers + 1][:, 0],
+        },
+    }
+    gw_in = g_kernel[2 * n_layers + 2].T  # (hidden+Dd, rgb_hidden)
+    if cfg.use_viewdirs:
+        inv_d = np.argsort(_encode_permutation(cfg.num_freqs_dir))
+        gw_in = jnp.concatenate(
+            [gw_in[:hidden], jnp.take(gw_in[hidden:], inv_d, axis=0)], axis=0
+        )
+    gs["rgb_in"] = {"w": gw_in, "b": g_kernel[2 * n_layers + 3][:, 0]}
+    gs["rgb"] = {
+        "w": g_kernel[2 * n_layers + 4].T,
+        "b": g_kernel[2 * n_layers + 5][:, 0],
+    }
+    return gs
+
+
 def fused_nerf_pass_grads(
     mlp_params,
     rays_o: jax.Array,
@@ -403,40 +442,7 @@ def fused_nerf_pass_grads(
 
     loss = outs[0][0, 0]
     g_kernel = outs[1 : 1 + len(wbs)]
-
-    # Map kernel-layout grads back to the model pytree (inverse of
-    # _prepare_nerf_weights: transpose + inverse row permutations).
-    perm = _encode_permutation(cfg.num_freqs)
-    inv = np.argsort(perm)
-    hidden = cfg.hidden
-    layers = []
-    for i in range(n_layers):
-        gw = g_kernel[2 * i].T
-        if i == 0:
-            gw = jnp.take(gw, inv, axis=0)
-        elif i == cfg.skip_at:
-            gw = jnp.concatenate(
-                [gw[:hidden], jnp.take(gw[hidden:], inv, axis=0)], axis=0
-            )
-        layers.append({"w": gw, "b": g_kernel[2 * i + 1][:, 0]})
-    gs = {
-        "layers": layers,
-        "sigma": {
-            "w": g_kernel[2 * n_layers].T,
-            "b": g_kernel[2 * n_layers + 1][:, 0],
-        },
-    }
-    gw_in = g_kernel[2 * n_layers + 2].T  # (hidden+Dd, rgb_hidden)
-    if cfg.use_viewdirs:
-        inv_d = np.argsort(_encode_permutation(cfg.num_freqs_dir))
-        gw_in = jnp.concatenate(
-            [gw_in[:hidden], jnp.take(gw_in[hidden:], inv_d, axis=0)], axis=0
-        )
-    gs["rgb_in"] = {"w": gw_in, "b": g_kernel[2 * n_layers + 3][:, 0]}
-    gs["rgb"] = {
-        "w": g_kernel[2 * n_layers + 4].T,
-        "b": g_kernel[2 * n_layers + 5][:, 0],
-    }
+    gs = kernel_grads_to_pytree(g_kernel, cfg)
 
     if emit_sampling:
         return loss, gs, outs[-2].T, outs[-1].T  # weights (R,S), z (R,S)
@@ -450,17 +456,53 @@ def make_fused_nerf_grad_fn(
     tile_r: int = DEFAULT_TILE_R,
     randomized: Optional[bool] = None,
     interpret: Optional[bool] = None,
+    sample_block: Optional[int] = None,
 ):
     """Hierarchical (coarse+fine) fused gradient fn, drop-in for
     jax.grad of models/nerf.make_hierarchical_loss.
 
     (params{'coarse','fine'}, ro, rd, target, key) -> (grads, metrics).
+
+    The fine pass streams sample blocks through VMEM (O(block) scratch,
+    kernels/fused_nerf_stream.py) when the depth union would not fit the
+    monolithic kernel — automatically when union * hidden activations
+    exceed ~60MB, or always when `sample_block` is given explicitly.
     """
     from tinynerf_tpu.ops.sampling import sample_pdf
     from tinynerf_tpu.utils.metrics import mse2psnr
 
     if randomized is None:
         randomized = jax.default_backend() == "tpu"
+
+    s_union = s.n_samples + n_fine
+    # Monolithic fine-pass activation scratch (see fused_nerf_pass_grads
+    # scratch_shapes): n_layers x hidden x (tile_r * S) in compute dtype.
+    act_bytes = (
+        cfg.depth * cfg.hidden * min(tile_r, s.n_rand) * s_union
+        * (2 if cfg.compute_dtype == jnp.bfloat16 else 4)
+    )
+    stream_fine = sample_block is not None or act_bytes > 60 * 1024 * 1024
+    if stream_fine:
+        from tinynerf_tpu.kernels.fused_nerf_stream import (
+            DEFAULT_SAMPLE_BLOCK,
+            fused_nerf_pass_grads_streamed,
+        )
+
+        if sample_block is not None:
+            fine_block = min(sample_block, s_union)
+            if s_union % fine_block:
+                raise ValueError(
+                    f"fine union {s_union} must be a multiple of "
+                    f"sample_block {fine_block}"
+                )
+        else:
+            # Auto: largest sublane-aligned divisor of the union within
+            # the default block budget (e.g. union 192 -> 96).
+            fine_block = next(
+                b
+                for b in range(min(DEFAULT_SAMPLE_BLOCK, s_union), 0, -1)
+                if s_union % b == 0 and (b % 8 == 0 or b == s_union)
+            )
 
     def grad_fn(params, ro, rd, target, key):
         k_seed, k_pdf = jax.random.split(key)
@@ -477,11 +519,18 @@ def make_fused_nerf_grad_fn(
             randomized=randomized, key=k_pdf if randomized else None,
         )
         z_union = jnp.sort(jnp.concatenate([z_c, z_f], axis=-1), axis=-1)
-        loss_f, g_f = fused_nerf_pass_grads(
-            params["fine"], ro, rd, target, seed, z_union,
-            near=s.near, far=s.far, randomized=False,
-            white_bkgd=s.white_bkgd, cfg=cfg, tile_r=tile_r, interpret=interpret,
-        )
+        if stream_fine:
+            loss_f, g_f = fused_nerf_pass_grads_streamed(
+                params["fine"], ro, rd, target, z_union,
+                white_bkgd=s.white_bkgd, cfg=cfg, tile_r=tile_r,
+                sample_block=fine_block, interpret=interpret,
+            )
+        else:
+            loss_f, g_f = fused_nerf_pass_grads(
+                params["fine"], ro, rd, target, seed, z_union,
+                near=s.near, far=s.far, randomized=False,
+                white_bkgd=s.white_bkgd, cfg=cfg, tile_r=tile_r, interpret=interpret,
+            )
         grads = {"coarse": g_c, "fine": g_f}
         return grads, {
             "loss": loss_f,
