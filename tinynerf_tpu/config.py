@@ -55,6 +55,11 @@ class Config:
     num_freqs_dir: int = 4
     rgb_hidden: int = 64
 
+    # --- forward-facing (LLFF-style) scenes: NDC reparameterization ---
+    ndc: bool = False  # project rays to NDC space (ops/rays.ndc_rays,
+    # near plane 1.0) and sample t in [0,1] — uniform DISPARITY in world
+    # space. For forward-facing captures; --near/--far are ignored.
+
     # --- TPU-native extensions ---
     data_path: str = "data/tiny_nerf_data.npz"
     allow_synthetic: bool = True  # fall back to the procedural scene offline
@@ -101,8 +106,8 @@ class Config:
         return TrainSettings(
             n_rand=self.n_rand,
             n_samples=self.n_samples,
-            near=self.near,
-            far=self.far,
+            near=0.0 if self.ndc else self.near,
+            far=1.0 if self.ndc else self.far,
             num_freqs=self.num_freqs,
             lr=self.lr,
             lr_decay_steps=self.lr_decay_steps,

@@ -65,13 +65,25 @@ def render_rays(
     return comp_rgb
 
 
-def chunked_over_rays(ray_fn, H: int, W: int, focal, pose: jax.Array, chunk: int):
+def chunked_over_rays(
+    ray_fn, H: int, W: int, focal, pose: jax.Array, chunk: int,
+    ndc: bool = False,
+):
     """Generic chunked full-image driver: pad H*W rays to a chunk
     multiple, lax.map `ray_fn(ro, rd) -> (chunk, 3)` over the chunks,
     un-pad and reshape to (H, W, 3). Chunking never changes results
     (rays are independent — the reference guarantee,
-    tiny_nerf_min.py:1424-1428, preserved here by construction)."""
+    tiny_nerf_min.py:1424-1428, preserved here by construction).
+
+    ndc=True reprojects rays to NDC space (ops/rays.ndc_rays, near
+    plane at 1.0 — the original NeRF's hard-coded choice for
+    forward-facing scenes); callers must then sample near=0, far=1.
+    """
     rays_o, rays_d = get_rays(H, W, focal, pose)
+    if ndc:
+        from tinynerf_tpu.ops.rays import ndc_rays
+
+        rays_o, rays_d = ndc_rays(H, W, focal, 1.0, rays_o, rays_d)
     hw = H * W
     # Shrink the chunk to the 128-aligned cover of H*W when the image
     # is smaller than the requested chunk budget — e.g. a 100x100 image
@@ -107,6 +119,7 @@ def render_image_fn(
     white_bkgd: bool = True,
     model_cfg: TinyNeRFConfig = TinyNeRFConfig(),
     use_fused: bool = False,
+    ndc: bool = False,
 ) -> jax.Array:
     """Render a full (H, W, 3) image for one camera pose (pure, jittable)."""
 
@@ -124,7 +137,7 @@ def render_image_fn(
             use_fused=use_fused,
         )
 
-    return chunked_over_rays(one_chunk, H, W, focal, pose, chunk)
+    return chunked_over_rays(one_chunk, H, W, focal, pose, chunk, ndc=ndc)
 
 
 def as_frames_renderer(image_fn):
@@ -155,6 +168,7 @@ def make_hierarchical_image_renderer(
     nerf_cfg=None,
     use_fused: bool = False,
     frames: bool = False,
+    ndc: bool = False,
 ):
     """Jitted `(params, pose) -> (H, W, 3)` renderer for the full NeRF
     (coarse/fine) model: the fine composite is the output image.
@@ -198,7 +212,7 @@ def make_hierarchical_image_renderer(
                 )
             return comp_f
 
-        return chunked_over_rays(one_chunk, H, W, float(focal), pose, chunk)
+        return chunked_over_rays(one_chunk, H, W, float(focal), pose, chunk, ndc=ndc)
 
     return as_frames_renderer(fn) if frames else jax.jit(fn)
 
@@ -217,6 +231,7 @@ def make_image_renderer(
     model_cfg: TinyNeRFConfig = TinyNeRFConfig(),
     use_fused: bool = False,
     frames: bool = False,
+    ndc: bool = False,
 ):
     """Build a jitted `(params, pose) -> (H, W, 3)` renderer, or with
     frames=True the batched `(params, poses (F, 4, 4)) -> (F, H, W, 3)`
@@ -234,5 +249,6 @@ def make_image_renderer(
         white_bkgd=white_bkgd,
         model_cfg=model_cfg,
         use_fused=use_fused,
+        ndc=ndc,
     )
     return as_frames_renderer(fn) if frames else jax.jit(fn)

@@ -99,6 +99,16 @@ def main(cfg: Config) -> dict:
 
     # Precompute rays for every pose: one XLA program (vs host loop).
     rays_o_all, rays_d_all = get_rays_for_poses(H, W, focal, poses)
+    if cfg.ndc:
+        from tinynerf_tpu.ops.rays import ndc_rays
+
+        # Forward-facing scenes: reproject all rays to NDC (near plane
+        # 1.0, the original NeRF's choice); sampling then runs over
+        # t in [0,1] (train_settings() swaps near/far accordingly).
+        rays_o_all, rays_d_all = jax.vmap(
+            lambda o, d: ndc_rays(H, W, focal, 1.0, o, d)
+        )(rays_o_all, rays_d_all)
+        print("[ndc] rays reprojected to NDC space (sampling t in [0,1])")
     pixels = images.reshape(n_images, H * W, 3)
 
     # Hold out trailing poses for novel-view evaluation (never trained).
@@ -166,6 +176,7 @@ def main(cfg: Config) -> dict:
             settings, n, loss=loss, grad_fn=grad_fn
         )
 
+    eff_near, eff_far = (0.0, 1.0) if cfg.ndc else (cfg.near, cfg.far)
     if cfg.model == "nerf":
         from tinynerf_tpu.render import make_hierarchical_image_renderer
 
@@ -176,10 +187,11 @@ def main(cfg: Config) -> dict:
             chunk=min(cfg.chunk, 4096),
             n_coarse=cfg.n_samples,
             n_fine=cfg.n_fine,
-            near=cfg.near,
-            far=cfg.far,
+            near=eff_near,
+            far=eff_far,
             nerf_cfg=ncfg,
             use_fused=cfg.fused,
+            ndc=cfg.ndc,
         )
     else:
         renderer = make_image_renderer(
@@ -188,11 +200,12 @@ def main(cfg: Config) -> dict:
             focal=focal,
             chunk=cfg.chunk,
             n_samples=cfg.n_samples,
-            near=cfg.near,
-            far=cfg.far,
+            near=eff_near,
+            far=eff_far,
             num_freqs=cfg.num_freqs,
             model_cfg=cfg.model_cfg(),
             use_fused=cfg.fused,
+            ndc=cfg.ndc,
         )
 
     def save_ckpt(step: int):
@@ -217,6 +230,7 @@ def main(cfg: Config) -> dict:
                     "num_freqs_dir": cfg.num_freqs_dir,
                     "rgb_hidden": cfg.rgb_hidden,
                     "n_fine": cfg.n_fine,
+                    "ndc": cfg.ndc,
                 },
             },
         )

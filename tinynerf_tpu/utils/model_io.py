@@ -40,6 +40,11 @@ def load_model_and_renderer(
     mcfg = meta.get("cfg", {"hidden": 128, "depth": 4, "skip_at": 2, "num_freqs": 10})
     num_freqs = mcfg.get("num_freqs", 10)
     model_kind = meta.get("model", "tinynerf")
+    # NDC training bakes the ray parameterization into the weights: the
+    # renderer must reproject the same way (and sample t in [0,1]).
+    ndc = bool(mcfg.get("ndc", False))
+    if ndc:
+        near, far = 0.0, 1.0
 
     if model_kind == "nerf":
         from tinynerf_tpu.models.nerf import NeRFConfig, init_nerf
@@ -57,7 +62,7 @@ def load_model_and_renderer(
             H=H, W=W, focal=focal, chunk=min(chunk, 4096),
             n_coarse=n_samples, n_fine=mcfg.get("n_fine", 64),
             near=near, far=far, nerf_cfg=ncfg, use_fused=fused,
-            frames=frames,
+            frames=frames, ndc=ndc,
         )
     else:
         model_cfg = TinyNeRFConfig(
@@ -72,7 +77,7 @@ def load_model_and_renderer(
         renderer = make_image_renderer(
             H=H, W=W, focal=focal, chunk=chunk, n_samples=n_samples,
             near=near, far=far, num_freqs=num_freqs, model_cfg=model_cfg,
-            use_fused=fused, frames=frames,
+            use_fused=fused, frames=frames, ndc=ndc,
         )
     # Params-only restore: render-only consumers must accept checkpoints
     # written under ANY optimizer configuration (--lr-decay-steps changes
