@@ -179,6 +179,20 @@ def test_sample_parallel_without_data_parallel_rejected(tiny_npz, tmp_path):
         train.main(_cfg(tiny_npz, tmp_path, sample_parallel=2))
 
 
+def test_ray_pool_sampling_trains(tiny_npz, tmp_path):
+    """--ray-sampling pool (cross-image batching, full-NeRF style)
+    learns end to end; bogus values are rejected."""
+    from tinynerf_tpu import train
+
+    cfg = _cfg(tiny_npz, tmp_path, ray_sampling="pool", holdout=2)
+    res = train.main(cfg)
+    assert np.isfinite(res["final_psnr"])
+    assert res["eval"]["psnr_mean"] > 5
+
+    with pytest.raises(ValueError, match="ray_sampling"):
+        train.main(_cfg(tiny_npz, tmp_path, ray_sampling="bogus"))
+
+
 def test_ndc_forward_facing_end_to_end(tmp_path):
     """--ndc on an LLFF-style forward-facing scene: rays reproject to
     NDC, training learns (loss drops), and the GIF consumer rebuilds

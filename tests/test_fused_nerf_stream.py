@@ -153,6 +153,45 @@ def test_hierarchical_grad_fn_with_streamed_fine():
     _assert_close(ref_g, grads)
 
 
+def test_streamed_render_matches_monolithic():
+    """Forward-only streamed render == monolithic fused render on the
+    same depth union (includes a padded, non-multiple-of-tile R)."""
+    from tinynerf_tpu.kernels.fused_nerf import fused_nerf_render_rays
+    from tinynerf_tpu.kernels.fused_nerf_stream import (
+        fused_nerf_render_rays_streamed,
+    )
+
+    mlp, ro, rd, _, z = _case(R=24, S=16, seed=9)  # 24 pads to 2x16 tiles
+    mono = fused_nerf_render_rays(
+        mlp, ro, rd, z, cfg=TINY, tile_r=16, interpret=True
+    )
+    stream = fused_nerf_render_rays_streamed(
+        mlp, ro, rd, z, cfg=TINY, tile_r=16, sample_block=4, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(stream), np.asarray(mono), atol=1e-5
+    )
+
+
+def test_hierarchical_render_streamed_fine_parity():
+    """fused_render_rays_hierarchical(sample_block=...) equals the
+    unfused hierarchical render (deterministic)."""
+    from tinynerf_tpu.kernels.fused_nerf import fused_render_rays_hierarchical
+    from tinynerf_tpu.models.nerf import init_nerf, render_rays_hierarchical
+
+    params = init_nerf(jax.random.PRNGKey(11), TINY)
+    _, ro, rd, _, _ = _case(R=32, S=8, seed=11)
+    ref_c, ref_f = render_rays_hierarchical(
+        params, ro, rd, n_coarse=8, n_fine=8, cfg=TINY, randomized=False
+    )
+    got_c, got_f = fused_render_rays_hierarchical(
+        params, ro, rd, n_coarse=8, n_fine=8, cfg=TINY, tile_r=16,
+        interpret=True, sample_block=4,
+    )
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(ref_c), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_f), np.asarray(ref_f), atol=2e-4)
+
+
 def test_streamed_shape_validation():
     mlp, ro, rd, target, z = _case(R=16, S=8)
     with pytest.raises(ValueError, match="sample_block"):

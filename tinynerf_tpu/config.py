@@ -55,6 +55,12 @@ class Config:
     num_freqs_dir: int = 4
     rgb_hidden: int = 64
 
+    # --- ray batching ---
+    ray_sampling: str = "image"  # "image": one image per step (reference
+    # semantics, src/train.py:108-112) | "pool": every step draws from
+    # the union of all train pixels (full-NeRF batching; decorrelated
+    # gradients, no per-image cycling transient)
+
     # --- forward-facing (LLFF-style) scenes: NDC reparameterization ---
     ndc: bool = False  # project rays to NDC space (ops/rays.ndc_rays,
     # near plane 1.0) and sample t in [0,1] — uniform DISPARITY in world
@@ -103,11 +109,16 @@ class Config:
         )
 
     def train_settings(self) -> TrainSettings:
+        if self.ray_sampling not in ("image", "pool"):
+            raise ValueError(
+                f"ray_sampling={self.ray_sampling!r} (expected 'image'|'pool')"
+            )
         return TrainSettings(
             n_rand=self.n_rand,
             n_samples=self.n_samples,
             near=0.0 if self.ndc else self.near,
             far=1.0 if self.ndc else self.far,
+            ray_sampling=self.ray_sampling,
             num_freqs=self.num_freqs,
             lr=self.lr,
             lr_decay_steps=self.lr_decay_steps,

@@ -31,6 +31,7 @@ class EvalConfig:
     views: int = 8  # number of evenly spaced views (0 = all)
     first_view: int = 0  # start index (e.g. N-holdout for held-out eval)
     n_samples: int = 64
+    n_fine: int = 0  # >0: override the checkpoint's fine-sample count
     near: float = 2.0
     far: float = 6.0
     chunk: int = 8192
@@ -52,6 +53,7 @@ def main(cfg: EvalConfig = EvalConfig()) -> dict:
     params, renderer, meta = load_model_and_renderer(
         cfg.ckpt_path, H=H, W=W, focal=focal, n_samples=cfg.n_samples,
         near=cfg.near, far=cfg.far, chunk=cfg.chunk, fused=cfg.fused,
+        n_fine=cfg.n_fine,
     )
     print(f"[ckpt] {cfg.ckpt_path} (model {meta['model']}, step {meta['step']})")
 

@@ -290,12 +290,17 @@ def fused_render_rays_hierarchical(
     cfg: NeRFConfig = NeRFConfig(),
     tile_r: int = DEFAULT_TILE_R,
     interpret: Optional[bool] = None,
+    sample_block: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fully-fused deterministic coarse->resample->fine pipeline.
 
     Matches models/nerf.render_rays_hierarchical(randomized=False): the
     only XLA ops between the two fused passes are the inverse-CDF
     resample and a sort over (R, S)-sized depth arrays.
+
+    Large unions (or wide MLPs) route the fine pass through the
+    STREAMED forward kernel (kernels/fused_nerf_stream.py) so VMEM
+    stays O(sample_block); `sample_block` forces it explicitly.
     """
     from tinynerf_tpu.ops.sampling import sample_pdf
 
@@ -317,16 +322,41 @@ def fused_render_rays_hierarchical(
     z_mids = 0.5 * (z_c[:, 1:] + z_c[:, :-1])
     z_f = sample_pdf(z_mids, weights[:, 1:-1], n_fine, randomized=False)
     z_union = jnp.sort(jnp.concatenate([z_c, z_f], axis=-1), axis=-1)
-    comp_f = fused_nerf_render_rays(
-        params["fine"],
-        rays_o,
-        rays_d,
-        z_union,
-        near=near,
-        far=far,
-        white_bkgd=white_bkgd,
-        cfg=cfg,
-        tile_r=tile_r,
-        interpret=interpret,
-    )
+    s_union = n_coarse + n_fine
+    if sample_block is not None or cfg.hidden * s_union > 128 * 384:
+        from tinynerf_tpu.kernels.fused_nerf_stream import (
+            DEFAULT_SAMPLE_BLOCK,
+            fused_nerf_render_rays_streamed,
+        )
+
+        if sample_block is None:
+            sample_block = next(
+                b
+                for b in range(min(DEFAULT_SAMPLE_BLOCK, s_union), 0, -1)
+                if s_union % b == 0 and (b % 8 == 0 or b == s_union)
+            )
+        comp_f = fused_nerf_render_rays_streamed(
+            params["fine"],
+            rays_o,
+            rays_d,
+            z_union,
+            white_bkgd=white_bkgd,
+            cfg=cfg,
+            tile_r=tile_r,
+            sample_block=sample_block,
+            interpret=interpret,
+        )
+    else:
+        comp_f = fused_nerf_render_rays(
+            params["fine"],
+            rays_o,
+            rays_d,
+            z_union,
+            near=near,
+            far=far,
+            white_bkgd=white_bkgd,
+            cfg=cfg,
+            tile_r=tile_r,
+            interpret=interpret,
+        )
     return comp_c, comp_f

@@ -270,6 +270,210 @@ def _streamed_kernel(
         ref[:] = g
 
 
+def _streamed_render_kernel(
+    o_ref,  # (3, R)
+    d_ref,  # (3, R)
+    z_ref,  # (S, R)
+    dl_ref,  # (S, R)
+    *args,  # weight refs + out ref + 2 scratch refs
+    TR: int,
+    n_tiles: int,
+    S: int,
+    SB: int,
+    num_freqs: int,
+    num_freqs_dir: int,
+    use_viewdirs: bool,
+    n_layers: int,
+    skip_at: int,
+    compute_dtype,
+):
+    """Forward-only streamed twin of _streamed_kernel: carries
+    (T, comp, acc) across sample blocks; emits (4, R) raw composite."""
+    acts_scr, enc_scr = args[-2:]
+    args = args[:-2]
+    n_wb = 2 * (n_layers + 3)
+    wb = args[:n_wb]
+    out_ref = args[n_wb]
+
+    NB = S // SB
+    TRB = TR * SB
+    f32 = jnp.float32
+    HI = jax.lax.Precision.HIGHEST
+    s_row = _iota2((1, TRB), 1) // TR
+
+    def fourier(x, n_freqs):
+        r_ids = _iota2((3 * n_freqs, 3), 0)
+        c_ids = _iota2((3 * n_freqs, 3), 1)
+        B = jnp.where(r_ids % 3 == c_ids, jnp.exp2((r_ids // 3).astype(f32)), 0.0)
+        th = jnp.dot(B, x, preferred_element_type=f32, precision=HI)
+        return jnp.concatenate([x, jnp.sin(th), jnp.cos(th)], axis=0)
+
+    def dense(h_c, i):
+        return (
+            jnp.dot(
+                wb[2 * i][:].astype(compute_dtype), h_c,
+                preferred_element_type=f32,
+            )
+            + wb[2 * i + 1][:]
+        )
+
+    I_SIG, I_IN, I_RGB = n_layers, n_layers + 1, n_layers + 2
+
+    def tile_render(ti, _):
+        start = pl.multiple_of(ti * TR, TR)
+        sl = pl.ds(start, TR)
+        o_t, d_t = o_ref[:, sl], d_ref[:, sl]
+        norm = jnp.sqrt(jnp.sum(d_t * d_t, axis=0, keepdims=True))
+        od_rep = pltpu.repeat(jnp.concatenate([o_t, d_t], axis=0), SB, axis=1)
+        if use_viewdirs:
+            enc_d_rep = pltpu.repeat(
+                fourier(d_t / norm, num_freqs_dir), SB, axis=1
+            ).astype(compute_dtype)
+
+        def fwd_body(b, carry):
+            T_run, C, A = carry
+            zsl = pl.ds(pl.multiple_of(b * SB, SB), SB)
+            z_row = z_ref[zsl, sl].reshape(1, TRB)
+            delta = dl_ref[zsl, sl].reshape(1, TRB)
+            pts = od_rep[0:3] + od_rep[3:6] * z_row
+            enc_scr[:] = fourier(pts, num_freqs).astype(compute_dtype)
+            h = enc_scr[:]
+            for i in range(n_layers):
+                h_in = h if i != skip_at else jnp.concatenate(
+                    [h, enc_scr[:]], axis=0
+                )
+                h = jnp.maximum(dense(h_in, i), 0.0).astype(compute_dtype)
+                acts_scr[i] = h
+            sigma = jnp.maximum(dense(h, I_SIG), 0.0)
+            rgb_in_input = (
+                jnp.concatenate([h, enc_d_rep], axis=0) if use_viewdirs else h
+            )
+            g1 = jnp.maximum(dense(rgb_in_input, I_IN), 0.0).astype(compute_dtype)
+            rgb = jax.nn.sigmoid(dense(g1, I_RGB))
+            one_m = jnp.exp(-sigma * delta) + TRANS_EPS
+            alpha = 1.0 - (one_m - TRANS_EPS)
+            tl = prefix_product_exclusive(one_m, SB, TR)
+            trans = pltpu.repeat(T_run, SB, axis=1) * tl
+            w = alpha * trans
+            A4 = sum_over_samples(jnp.concatenate([rgb * w, w], axis=0), SB, TR)
+            blk_prod = sum_over_samples(
+                jnp.where(s_row == SB - 1, tl * one_m, 0.0), SB, TR
+            )
+            return T_run * blk_prod, C + A4[0:3], A + A4[3:4]
+
+        _, C, A = jax.lax.fori_loop(
+            0,
+            NB,
+            fwd_body,
+            (
+                jnp.ones((1, TR), f32),
+                jnp.zeros((3, TR), f32),
+                jnp.zeros((1, TR), f32),
+            ),
+        )
+        out_ref[:, sl] = jnp.concatenate([C, A], axis=0)
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, tile_render, 0)
+
+
+def fused_nerf_render_rays_streamed(
+    mlp_params,
+    rays_o: jax.Array,
+    rays_d: jax.Array,
+    z_vals: jax.Array,
+    *,
+    white_bkgd: bool = True,
+    cfg: NeRFConfig = NeRFConfig(),
+    tile_r: int = DEFAULT_TILE_R,
+    sample_block: int = DEFAULT_SAMPLE_BLOCK,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Streamed forward render over a caller-provided depth union ->
+    comp_rgb (R, 3). Drop-in for fused_nerf_render_rays(z_vals=...)
+    when S is large (the fine pass of a high-sample hierarchical
+    render): VMEM scratch is O(sample_block), not O(S)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    R, S = z_vals.shape
+    tile_r = min(tile_r, R)
+    n_tiles = -(-R // tile_r)
+    pad = n_tiles * tile_r - R
+    sample_block = min(sample_block, S)
+    if S % sample_block:
+        raise ValueError(
+            f"S={S} must be a multiple of sample_block={sample_block}"
+        )
+
+    f32 = jnp.float32
+    o_p = jnp.pad(rays_o.astype(f32), ((0, pad), (0, 0)))
+    d_p = jnp.concatenate(
+        [
+            rays_d.astype(f32),
+            jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (pad, 3)),
+        ],
+        axis=0,
+    )
+    z = jnp.pad(z_vals.astype(f32), ((0, pad), (0, 0)), constant_values=1.0)
+    norm = jnp.linalg.norm(d_p, axis=-1, keepdims=True)
+    delta = (
+        jnp.concatenate(
+            [z[:, 1:] - z[:, :-1], jnp.full((R + pad, 1), DELTA_INF, f32)],
+            axis=1,
+        )
+        * norm
+    )
+
+    inputs = [o_p.T, d_p.T, z.T, delta.T]
+    wbs = _prepare_nerf_weights(mlp_params, cfg)
+    n_layers = cfg.depth
+
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _streamed_render_kernel,
+        TR=tile_r,
+        n_tiles=n_tiles,
+        S=S,
+        SB=sample_block,
+        num_freqs=cfg.num_freqs,
+        num_freqs_dir=cfg.num_freqs_dir,
+        use_viewdirs=cfg.use_viewdirs,
+        n_layers=n_layers,
+        skip_at=cfg.skip_at,
+        compute_dtype=cfg.compute_dtype,
+    )
+
+    pts = (R + pad) * S
+    mac = sum(int(np.prod(w.shape)) for w in wbs[::2])
+    cost = pl.CostEstimate(
+        flops=2 * pts * mac,
+        bytes_accessed=(R + pad) * (10 + 2 * S) * 4,
+        transcendentals=pts * (6 * cfg.num_freqs + 6),
+    )
+
+    TRB = tile_r * sample_block
+    enc_dim = 3 + 6 * cfg.num_freqs
+    out = pl.pallas_call(
+        lambda *a: kernel(*a),
+        in_specs=[full() for _ in inputs] + [full() for _ in wbs],
+        out_specs=full(),
+        out_shape=jax.ShapeDtypeStruct((4, R + pad), f32),
+        scratch_shapes=[
+            pltpu.VMEM((n_layers, cfg.hidden, TRB), cfg.compute_dtype),
+            pltpu.VMEM((enc_dim, TRB), cfg.compute_dtype),
+        ],
+        cost_estimate=cost,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(*inputs, *wbs)
+
+    out4 = out.T[:R]  # (R, 4)
+    comp = out4[:, :3]
+    if white_bkgd:
+        comp = comp + (1.0 - out4[:, 3:4])
+    return comp
+
+
 def fused_nerf_pass_grads_streamed(
     mlp_params,
     rays_o: jax.Array,

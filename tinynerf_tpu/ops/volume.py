@@ -10,9 +10,11 @@ Behavioral parity with the reference `src/volume.py:3-44`:
 Numerics (TPU-first): composite always runs in float32 even when the
 MLP computes in bfloat16 — exp(-sigma * 1e10) and the transmittance
 product are the precision-sensitive path (SURVEY.md section 7, hard
-part e). The sample axis is the workload's "sequence"; for sample
-counts far beyond VMEM, `kernels/fused_render.py` streams it blockwise
-with carried (transmittance, rgb, depth, acc) state.
+part e). The sample axis is the workload's "sequence"; the block
+composite below shards it over a mesh (parallel/train.py), and
+`kernels/fused_nerf_stream.py` streams it through VMEM in-kernel with
+carried (transmittance, rgb, acc) state — both train (fwd+bwd) and
+render.
 """
 
 from __future__ import annotations

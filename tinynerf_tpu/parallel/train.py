@@ -233,14 +233,20 @@ def make_sharded_train_block(
 
     def step_body(params, opt_state, key, step, rays_o_all, rays_d_all, pixels):
         n_images, hw = rays_o_all.shape[0], rays_o_all.shape[1]
-        img_i = jnp.mod(step, n_images)
         data_idx = jax.lax.axis_index(DATA_AXIS)
         k_step = jax.random.fold_in(jax.random.fold_in(key, step), data_idx)
         k_inds, k_jitter = jax.random.split(k_step)
-        inds = jax.random.randint(k_inds, (local_rand,), 0, hw)
-        ro = rays_o_all[img_i][inds]
-        rd = rays_d_all[img_i][inds]
-        target = pixels[img_i][inds]
+        if s.ray_sampling == "pool":
+            inds = jax.random.randint(k_inds, (local_rand,), 0, n_images * hw)
+            ro = rays_o_all.reshape(n_images * hw, 3)[inds]
+            rd = rays_d_all.reshape(n_images * hw, 3)[inds]
+            target = pixels.reshape(n_images * hw, 3)[inds]
+        else:
+            img_i = jnp.mod(step, n_images)
+            inds = jax.random.randint(k_inds, (local_rand,), 0, hw)
+            ro = rays_o_all[img_i][inds]
+            rd = rays_d_all[img_i][inds]
+            target = pixels[img_i][inds]
 
         if grad_fn is not None:
             # e.g. the fused Pallas train kernel: each device runs it on

@@ -50,6 +50,12 @@ class TrainSettings:
     lr_decay_steps: int = 0
     lr_decay_factor: float = 0.1
     white_bkgd: bool = True
+    # "image": each step draws rays from ONE image (step % N) — the
+    # reference's semantics (src/train.py:108-112). "pool": each step
+    # draws from the union of every train pixel — the full-NeRF paper's
+    # batching, decorrelates the gradient and removes the per-image
+    # cycling transient (the step-2000 dip in BASELINE.md).
+    ray_sampling: str = "image"
     model_cfg: TinyNeRFConfig = TinyNeRFConfig()
 
 
@@ -102,13 +108,22 @@ def _step_body(
     jax.grad of `loss` when given (e.g. the fused Pallas train kernel).
     """
     n_images, hw = rays_o_all.shape[0], rays_o_all.shape[1]
-    img_i = jnp.mod(step, n_images)
     k_step = jax.random.fold_in(key, step)
     k_inds, k_jitter = jax.random.split(k_step)
-    inds = jax.random.randint(k_inds, (s.n_rand,), 0, hw)
-    ro = rays_o_all[img_i][inds]
-    rd = rays_d_all[img_i][inds]
-    target = pixels[img_i][inds]
+    if s.ray_sampling == "pool":
+        # Cross-image ray batching: one gather from the flattened
+        # (N*HW) pixel pool (free reshape; the gather is the same cost
+        # as the per-image one).
+        inds = jax.random.randint(k_inds, (s.n_rand,), 0, n_images * hw)
+        ro = rays_o_all.reshape(n_images * hw, 3)[inds]
+        rd = rays_d_all.reshape(n_images * hw, 3)[inds]
+        target = pixels.reshape(n_images * hw, 3)[inds]
+    else:
+        img_i = jnp.mod(step, n_images)
+        inds = jax.random.randint(k_inds, (s.n_rand,), 0, hw)
+        ro = rays_o_all[img_i][inds]
+        rd = rays_d_all[img_i][inds]
+        target = pixels[img_i][inds]
 
     if grad_fn is not None:
         grads, metrics = grad_fn(params, ro, rd, target, k_jitter)

@@ -27,9 +27,14 @@ def load_model_and_renderer(
     chunk: int = 8192,
     fused: bool = False,
     frames: bool = False,
+    n_fine: int = 0,
 ):
     """-> (params, renderer, meta) with renderer: (params, pose) -> image
-    (or, with frames=True, (params, poses (F,4,4)) -> (F,H,W,3))."""
+    (or, with frames=True, (params, poses (F,4,4)) -> (F,H,W,3)).
+
+    n_fine > 0 overrides the checkpoint's stored fine-sample count for
+    the hierarchical model — rendering can spend MORE quadrature than
+    training did (the streamed kernels make large unions cheap)."""
     from tinynerf_tpu.models.tinynerf import TinyNeRFConfig
     from tinynerf_tpu.ops.encoding import encoding_dim
     from tinynerf_tpu.render import make_hierarchical_image_renderer, make_image_renderer
@@ -60,7 +65,7 @@ def load_model_and_renderer(
         params_t = init_nerf(jax.random.PRNGKey(0), ncfg)
         renderer = make_hierarchical_image_renderer(
             H=H, W=W, focal=focal, chunk=min(chunk, 4096),
-            n_coarse=n_samples, n_fine=mcfg.get("n_fine", 64),
+            n_coarse=n_samples, n_fine=n_fine or mcfg.get("n_fine", 64),
             near=near, far=far, nerf_cfg=ncfg, use_fused=fused,
             frames=frames, ndc=ndc,
         )
