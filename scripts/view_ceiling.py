@@ -14,11 +14,20 @@ Usage: python -u scripts/view_ceiling.py [out_json]
 from __future__ import annotations
 
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
 import jax
+
+if os.environ.get("CEILING_PLATFORM"):
+    # The sandbox pre-imports jax (sitecustomize) so JAX_PLATFORMS env
+    # alone is too late; route through jax.config before backend init.
+    jax.config.update("jax_platforms", os.environ["CEILING_PLATFORM"])
+
 import jax.numpy as jnp
 
 

@@ -61,6 +61,14 @@ class Config:
     # the union of all train pixels (full-NeRF batching; decorrelated
     # gradients, no per-image cycling transient)
 
+    # --- density regularization ---
+    sigma_noise_std: float = 0.0  # train-time N(0, std) noise on RAW
+    # density pre-ReLU (the NeRF paper's raw_noise_std; reference has
+    # none). Prevents ReLU sigma-death: pool-mode's decorrelated early
+    # gradient can push raw sigma negative everywhere, zeroing all
+    # gradients permanently (measured on TPU — docs/DESIGN.md). Use
+    # ~1.0 with --ray-sampling pool.
+
     # --- forward-facing (LLFF-style) scenes: NDC reparameterization ---
     ndc: bool = False  # project rays to NDC space (ops/rays.ndc_rays,
     # near plane 1.0) and sample t in [0,1] — uniform DISPARITY in world
@@ -119,6 +127,7 @@ class Config:
             near=0.0 if self.ndc else self.near,
             far=1.0 if self.ndc else self.far,
             ray_sampling=self.ray_sampling,
+            sigma_noise_std=self.sigma_noise_std,
             num_freqs=self.num_freqs,
             lr=self.lr,
             lr_decay_steps=self.lr_decay_steps,

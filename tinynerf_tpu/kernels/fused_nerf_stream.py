@@ -70,11 +70,12 @@ def _streamed_kernel(
     t_ref,  # (3, R) target rgb
     z_ref,  # (S, R) depths (sorted per ray)
     dl_ref,  # (S, R) deltas (diff(z), DELTA_INF last) * |d|, precomputed
-    *args,  # weight refs + output refs + 3 scratch refs
+    *args,  # [noise_ref (S, R)]? + weight refs + output refs + 3 scratch refs
     TR: int,
     n_tiles: int,
     S: int,
     SB: int,
+    has_noise: bool,
     hidden: int,
     num_freqs: int,
     num_freqs_dir: int,
@@ -87,6 +88,8 @@ def _streamed_kernel(
 ):
     acts_scr, enc_scr, tin_scr = args[-3:]
     args = args[:-3]
+    if has_noise:
+        noise_ref, args = args[0], args[1:]
     n_wb = 2 * (n_layers + 3)
     wb = args[:n_wb]
     loss_ref = args[n_wb]
@@ -147,7 +150,12 @@ def _streamed_kernel(
                 )
                 h = jnp.maximum(dense(h_in, i), 0.0).astype(compute_dtype)
                 acts_scr[i] = h
-            sigma = jnp.maximum(dense(h, I_SIG), 0.0)  # (1, TRB)
+            sigma_raw = dense(h, I_SIG)  # (1, TRB)
+            if has_noise:
+                # Same buffer read in fwd stream AND bwd remat -> the
+                # rematerialized noisy forward is bit-consistent.
+                sigma_raw = sigma_raw + noise_ref[zsl, sl].reshape(1, TRB)
+            sigma = jnp.maximum(sigma_raw, 0.0)  # (1, TRB)
             rgb_in_input = (
                 jnp.concatenate([h, enc_d_rep], axis=0) if use_viewdirs else h
             )
@@ -481,6 +489,7 @@ def fused_nerf_pass_grads_streamed(
     target: jax.Array,
     z_vals: jax.Array,
     *,
+    sigma_noise: Optional[jax.Array] = None,
     white_bkgd: bool = True,
     cfg: NeRFConfig = NeRFConfig(),
     tile_r: int = DEFAULT_TILE_R,
@@ -488,6 +497,10 @@ def fused_nerf_pass_grads_streamed(
     interpret: Optional[bool] = None,
 ):
     """One streamed fused fwd+bwd NeRF-MLP pass -> (loss, grads).
+
+    sigma_noise (R, S)|None: pre-ReLU density noise (see
+    models/nerf.apply_nerf_mlp); streamed block reads make the noisy
+    rematerialized backward bit-consistent with the forward.
 
     Drop-in for fused_nerf_pass_grads(..., z_vals=..., randomized=False,
     emit_sampling=False) with VMEM scratch O(sample_block) instead of
@@ -526,6 +539,8 @@ def fused_nerf_pass_grads_streamed(
         z.T,  # (S, R)
         delta.T,  # (S, R)
     ]
+    if sigma_noise is not None:
+        inputs.append(sigma_noise.astype(f32).T)  # (S, R)
     wbs = _prepare_nerf_weights(mlp_params, cfg)
     n_layers = cfg.depth
 
@@ -543,6 +558,7 @@ def fused_nerf_pass_grads_streamed(
         n_tiles=n_tiles,
         S=S,
         SB=sample_block,
+        has_noise=sigma_noise is not None,
         hidden=cfg.hidden,
         num_freqs=cfg.num_freqs,
         num_freqs_dir=cfg.num_freqs_dir,

@@ -68,11 +68,12 @@ def _nerf_train_kernel(
     o_ref,  # (3, R) full ray origins (transposed)
     d_ref,  # (3, R) full ray directions
     t_ref,  # (3, R) full target rgb
-    *args,  # [z_ref (S, R)]? + weight refs + output refs + scratch refs
+    *args,  # [z_ref (S, R)]? + [noise_ref (S, R)]? + weight refs + output refs + scratch refs
     TR: int,
     n_tiles: int,
     S: int,
     has_z: bool,
+    has_noise: bool,
     emit_sampling: bool,  # also output (weights, z) for resampling
     randomized: bool,
     num_freqs: int,
@@ -93,6 +94,8 @@ def _nerf_train_kernel(
     args = args[:-2]
     if has_z:
         z_ref, args = args[0], args[1:]
+    if has_noise:
+        noise_ref, args = args[0], args[1:]
     n_wb = 2 * (n_layers + 3)  # trunk + sigma + rgb_in + rgb
     wb = args[:n_wb]
     outs = args[n_wb:]
@@ -180,7 +183,11 @@ def _nerf_train_kernel(
         h_trunk = h  # (hidden, P)
         hidden = h_trunk.shape[0]
 
-        sigma = jnp.maximum(dense(h_trunk, I_SIG), 0.0)  # (1, P)
+        sigma_raw = dense(h_trunk, I_SIG)  # (1, P)
+        if has_noise:
+            # Pre-ReLU density noise (same (S, TR) lane-merge as z).
+            sigma_raw = sigma_raw + noise_ref[:, sl].reshape(1, P)
+        sigma = jnp.maximum(sigma_raw, 0.0)  # (1, P)
 
         if use_viewdirs:
             vdir = d_t / norm
@@ -342,6 +349,7 @@ def fused_nerf_pass_grads(
     seed,
     z_vals: Optional[jax.Array] = None,
     *,
+    sigma_noise: Optional[jax.Array] = None,
     n_samples: int = 64,
     near: float = 2.0,
     far: float = 6.0,
@@ -378,6 +386,9 @@ def fused_nerf_pass_grads(
     if z_vals is not None:
         inputs.append(z_vals.astype(jnp.float32).T)  # (S, R)
         in_specs.append(full())
+    if sigma_noise is not None:
+        inputs.append(sigma_noise.astype(jnp.float32).T)  # (S, R)
+        in_specs.append(full())
     in_specs += [full() for _ in wbs]
 
     out_shapes = [jax.ShapeDtypeStruct((1, 1), jnp.float32)]
@@ -397,6 +408,7 @@ def fused_nerf_pass_grads(
         n_tiles=n_tiles,
         S=S,
         has_z=z_vals is not None,
+        has_noise=sigma_noise is not None,
         emit_sampling=emit_sampling,
         randomized=randomized,
         num_freqs=cfg.num_freqs,
@@ -504,7 +516,23 @@ def make_fused_nerf_grad_fn(
                 if s_union % b == 0 and (b % 8 == 0 or b == s_union)
             )
 
+    noise_std = getattr(s, "sigma_noise_std", 0.0)
+
     def grad_fn(params, ro, rd, target, key):
+        noise_c = noise_f = None
+        if noise_std > 0.0:
+            # Extra splits ONLY when noise is on (noise-off streams stay
+            # bit-identical); the (R, S) draws are XLA-side so fused and
+            # unfused paths share the same noise mechanism and the
+            # streamed kernel's two passes read one consistent buffer.
+            key, k_nc, k_nf = jax.random.split(key, 3)
+            R = ro.shape[0]
+            noise_c = noise_std * jax.random.normal(
+                k_nc, (R, s.n_samples), jnp.float32
+            )
+            noise_f = noise_std * jax.random.normal(
+                k_nf, (R, s_union), jnp.float32
+            )
         k_seed, k_pdf = jax.random.split(key)
         seed = jax.random.randint(k_seed, (), 0, 2**31 - 1, dtype=jnp.int32)
         loss_c, g_c, weights, z_c = fused_nerf_pass_grads(
@@ -512,6 +540,7 @@ def make_fused_nerf_grad_fn(
             n_samples=s.n_samples, near=s.near, far=s.far,
             randomized=randomized, white_bkgd=s.white_bkgd,
             emit_sampling=True, cfg=cfg, tile_r=tile_r, interpret=interpret,
+            sigma_noise=noise_c,
         )
         z_mids = 0.5 * (z_c[:, 1:] + z_c[:, :-1])
         z_f = sample_pdf(
@@ -524,12 +553,14 @@ def make_fused_nerf_grad_fn(
                 params["fine"], ro, rd, target, z_union,
                 white_bkgd=s.white_bkgd, cfg=cfg, tile_r=tile_r,
                 sample_block=fine_block, interpret=interpret,
+                sigma_noise=noise_f,
             )
         else:
             loss_f, g_f = fused_nerf_pass_grads(
                 params["fine"], ro, rd, target, seed, z_union,
                 near=s.near, far=s.far, randomized=False,
                 white_bkgd=s.white_bkgd, cfg=cfg, tile_r=tile_r, interpret=interpret,
+                sigma_noise=noise_f,
             )
         grads = {"coarse": g_c, "fine": g_f}
         return grads, {

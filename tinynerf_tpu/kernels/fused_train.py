@@ -60,10 +60,11 @@ def _fused_train_kernel(
     o_ref,  # (3, R) full ray origins (transposed)
     d_ref,  # (3, R) full ray directions
     t_ref,  # (3, R) full target rgb
-    *args,  # weight/bias refs, then output refs
+    *args,  # [noise_ref (S, R)]? + weight/bias refs, then output refs
     TR: int,
     n_tiles: int,
     S: int,
+    has_noise: bool,
     num_freqs: int,
     n_layers: int,
     skip_at: int,
@@ -74,6 +75,8 @@ def _fused_train_kernel(
     inv_n: float,  # 1 / (n_rand_total * 3): MSE normalization
     compute_dtype,
 ):
+    if has_noise:
+        noise_ref, args = args[0], args[1:]
     n_wb = 2 * (n_layers + 1)
     wb = args[:n_wb]
     outs = args[n_wb:]  # loss_ref, then (gw, gb) per layer, head last
@@ -155,7 +158,11 @@ def _fused_train_kernel(
         )
         head = dense(head_in, n_layers)  # (4, P)
         rgb = jax.nn.sigmoid(head[0:3])
-        sigma = jnp.maximum(head[3:4], 0.0)
+        sigma_raw = head[3:4]
+        if has_noise:
+            # Pre-ReLU density noise (same (S, TR) lane-merge as z).
+            sigma_raw = sigma_raw + noise_ref[:, sl].reshape(1, P)
+        sigma = jnp.maximum(sigma_raw, 0.0)
 
         one_m = jnp.exp(-sigma * delta) + TRANS_EPS  # (1, P)
         alpha = 1.0 - (one_m - TRANS_EPS)
@@ -260,6 +267,7 @@ def fused_loss_grads(
     target: jax.Array,
     seed,
     *,
+    sigma_noise: Optional[jax.Array] = None,
     n_samples: int = 64,
     near: float = 2.0,
     far: float = 6.0,
@@ -308,6 +316,7 @@ def fused_loss_grads(
         TR=tile_r,
         n_tiles=n_tiles,
         S=S,
+        has_noise=sigma_noise is not None,
         num_freqs=num_freqs,
         n_layers=n_layers,
         skip_at=model_cfg.skip_at,
@@ -336,9 +345,12 @@ def fused_loss_grads(
         transcendentals=pts * (6 * num_freqs + 6),
     )
 
+    extra = [] if sigma_noise is None else [sigma_noise.astype(jnp.float32).T]
     outs = pl.pallas_call(
         lambda sd, o, d, t, *rest: kernel(sd, o, d, t, *rest),
-        in_specs=[seed_spec, full(), full(), full()] + [full() for _ in wbs],
+        in_specs=[seed_spec, full(), full(), full()]
+        + [full() for _ in extra]
+        + [full() for _ in wbs],
         out_specs=out_specs,
         out_shape=out_shapes,
         cost_estimate=cost,
@@ -346,7 +358,7 @@ def fused_loss_grads(
         # default scoped-vmem budget; v5e has far more physical VMEM.
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(seed_arr, o_t, d_t, t_t, *wbs)
+    )(seed_arr, o_t, d_t, t_t, *extra, *wbs)
 
     loss = outs[0][0, 0]
     g_kernel = outs[1:]
@@ -395,7 +407,17 @@ def make_fused_grad_fn(
         # stratified depths. Real-TPU training keeps the jitter.
         randomized = jax.default_backend() == "tpu"
 
+    noise_std = getattr(s, "sigma_noise_std", 0.0)
+
     def grad_fn(params, ro, rd, target, key):
+        noise = None
+        if noise_std > 0.0:
+            # Split ONLY when noise is on: noise-off seed stream stays
+            # bit-identical to the historical recipe.
+            key, k_noise = jax.random.split(key)
+            noise = noise_std * jax.random.normal(
+                k_noise, (ro.shape[0], s.n_samples), jnp.float32
+            )
         seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
         loss, grads = fused_loss_grads(
             params,
@@ -403,6 +425,7 @@ def make_fused_grad_fn(
             rd,
             target,
             seed,
+            sigma_noise=noise,
             n_samples=s.n_samples,
             near=s.near,
             far=s.far,

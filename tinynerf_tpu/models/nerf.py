@@ -88,16 +88,30 @@ def _dense(h, layer, dt):
 
 
 def apply_nerf_mlp(
-    params: Params, x_enc: jax.Array, d_enc: Optional[jax.Array], cfg: NeRFConfig
+    params: Params,
+    x_enc: jax.Array,
+    d_enc: Optional[jax.Array],
+    cfg: NeRFConfig,
+    sigma_noise: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """(N, in_dim), (N, dir_dim)|None -> (rgb (N,3), sigma (N,1))."""
+    """(N, in_dim), (N, dir_dim)|None -> (rgb (N,3), sigma (N,1)).
+
+    sigma_noise (N, 1)|None: train-time regularization noise added to
+    the RAW density before its ReLU (the NeRF paper's raw_noise_std).
+    Keeps the ReLU gradient alive when raw sigma drifts negative — the
+    anti-sigma-death mechanism (see docs/DESIGN.md; the reference has
+    no equivalent, its recipe never needs one on the Lego scene).
+    """
     dt = cfg.compute_dtype
     h = x_enc
     for i, layer in enumerate(params["layers"]):
         h = jax.nn.relu(_dense(h, layer, dt))
         if i == cfg.skip_at - 1:
             h = jnp.concatenate([h, x_enc.astype(h.dtype)], axis=-1)
-    sigma = jax.nn.relu(_dense(h, params["sigma"], dt))
+    sigma_raw = _dense(h, params["sigma"], dt)
+    if sigma_noise is not None:
+        sigma_raw = sigma_raw + sigma_noise.astype(sigma_raw.dtype)
+    sigma = jax.nn.relu(sigma_raw)
     if cfg.use_viewdirs:
         assert d_enc is not None, "use_viewdirs=True requires direction encodings"
         h = jnp.concatenate([h, d_enc.astype(h.dtype)], axis=-1)
@@ -119,13 +133,23 @@ def render_rays_hierarchical(
     cfg: NeRFConfig = NeRFConfig(),
     randomized: bool = False,
     key: Optional[jax.Array] = None,
+    sigma_noise_std: float = 0.0,
 ):
     """Coarse pass -> inverse-CDF resample -> fine pass on the union.
 
     Returns (comp_coarse (R,3), comp_fine (R,3)).
+
+    sigma_noise_std > 0 adds N(0, std) noise to raw density pre-ReLU in
+    BOTH passes (train-time only: requires randomized=True/key).
     """
     n_rays = rays_o.shape[0]
+    k_nc = k_nf = None
     if randomized:
+        if sigma_noise_std > 0.0:
+            # Extra splits ONLY when noise is on: the noise-off
+            # jitter/resample streams stay bit-identical to the
+            # historical recipe.
+            key, k_nc, k_nf = jax.random.split(key, 3)
         k_strat, k_pdf = jax.random.split(key)
     else:
         k_strat = k_pdf = None
@@ -137,19 +161,24 @@ def render_rays_hierarchical(
     else:
         d_enc_ray = None
 
-    def run_mlp(mlp_params, pts, n_samples):
+    def run_mlp(mlp_params, pts, n_samples, k_noise=None):
         x_enc = positional_encoding(pts.reshape(-1, 3), num_freqs=cfg.num_freqs)
         d_enc = (
             jnp.repeat(d_enc_ray, n_samples, axis=0) if cfg.use_viewdirs else None
         )
-        rgb, sigma = apply_nerf_mlp(mlp_params, x_enc, d_enc, cfg)
+        noise = None
+        if sigma_noise_std > 0.0 and k_noise is not None:
+            noise = sigma_noise_std * jax.random.normal(
+                k_noise, (n_rays * n_samples, 1), jnp.float32
+            )
+        rgb, sigma = apply_nerf_mlp(mlp_params, x_enc, d_enc, cfg, sigma_noise=noise)
         return rgb.reshape(n_rays, n_samples, 3), sigma.reshape(n_rays, n_samples)
 
     # --- coarse ---
     z_c, pts_c = stratified_samples(
         near, far, n_coarse, rays_o, rays_d, randomized=randomized, key=k_strat
     )
-    rgb_c, sigma_c = run_mlp(params["coarse"], pts_c, n_coarse)
+    rgb_c, sigma_c = run_mlp(params["coarse"], pts_c, n_coarse, k_noise=k_nc)
     comp_c, _, _, weights = volume_render(
         rgb_c, sigma_c, z_c, rays_d, white_bkgd=white_bkgd
     )
@@ -167,7 +196,7 @@ def render_rays_hierarchical(
     pts_f = rays_o[:, None, :] + rays_d[:, None, :] * z_union[..., None]
 
     # --- fine ---
-    rgb_f, sigma_f = run_mlp(params["fine"], pts_f, n_coarse + n_fine)
+    rgb_f, sigma_f = run_mlp(params["fine"], pts_f, n_coarse + n_fine, k_noise=k_nf)
     comp_f, _, _, _ = volume_render(
         rgb_f, sigma_f, z_union, rays_d, white_bkgd=white_bkgd
     )
@@ -196,6 +225,7 @@ def make_hierarchical_loss(cfg: NeRFConfig, n_fine: int = 64):
             cfg=cfg,
             randomized=True,
             key=key,
+            sigma_noise_std=getattr(s, "sigma_noise_std", 0.0),
         )
         target = target.astype(jnp.float32)
         mse_c = jnp.mean((comp_c - target) ** 2)

@@ -72,11 +72,19 @@ def _dense(h: jax.Array, layer: Params, compute_dtype) -> jax.Array:
     return out + layer["b"]
 
 
-def apply_tinynerf(params: Params, x: jax.Array, cfg: TinyNeRFConfig = TinyNeRFConfig()):
+def apply_tinynerf(
+    params: Params,
+    x: jax.Array,
+    cfg: TinyNeRFConfig = TinyNeRFConfig(),
+    sigma_noise=None,
+):
     """Forward pass: encoded coords (N, in_dim) -> (rgb (N,3), sigma (N,1)).
 
     Skip behavior matches src/nerf.py:35-38: concat [h, x] after the
-    ReLU of layer (skip_at - 1).
+    ReLU of layer (skip_at - 1). sigma_noise (N,1)|None is train-time
+    regularization noise added to raw density pre-ReLU (NeRF paper's
+    raw_noise_std; no reference equivalent — src/nerf.py:26 rectifies
+    the raw head directly).
     """
     h = x
     for i, layer in enumerate(params["layers"]):
@@ -84,7 +92,10 @@ def apply_tinynerf(params: Params, x: jax.Array, cfg: TinyNeRFConfig = TinyNeRFC
         if i == cfg.skip_at - 1:
             h = jnp.concatenate([h, x.astype(h.dtype)], axis=-1)
     rgb = jax.nn.sigmoid(_dense(h, params["rgb"], cfg.compute_dtype))
-    sigma = jax.nn.relu(_dense(h, params["sigma"], cfg.compute_dtype))
+    sigma_raw = _dense(h, params["sigma"], cfg.compute_dtype)
+    if sigma_noise is not None:
+        sigma_raw = sigma_raw + sigma_noise.astype(sigma_raw.dtype)
+    sigma = jax.nn.relu(sigma_raw)
     return rgb, sigma
 
 

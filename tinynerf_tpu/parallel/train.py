@@ -41,10 +41,24 @@ from tinynerf_tpu.training import TrainSettings, settings_optimizer
 from tinynerf_tpu.utils.metrics import mse2psnr
 
 
+def _block_sigma_noise(k_noise, noise_std, n_pts, n_sample):
+    """Per-sample-block density noise (see training.TrainSettings
+    .sigma_noise_std): deterministic given (key, block index), so every
+    sample peer's gathered composite is identical."""
+    if n_sample > 1:
+        k_noise = jax.random.fold_in(k_noise, jax.lax.axis_index(SAMPLE_AXIS))
+    return noise_std * jax.random.normal(k_noise, (n_pts, 1), jnp.float32)
+
+
 def _sharded_loss(params, ro, rd, target, k_jitter, s: TrainSettings, n_sample: int):
     """Loss over this device's rays, MLP restricted to its sample block."""
     local_rand = ro.shape[0]
     sb = s.n_samples // n_sample
+    noise_std = getattr(s, "sigma_noise_std", 0.0)
+    k_noise = None
+    if noise_std > 0.0:
+        # Split ONLY when noise is on (noise-off streams unchanged).
+        k_jitter, k_noise = jax.random.split(k_jitter)
     # z_vals for ALL samples, identical across the sample group (the
     # jitter key does not involve the sample axis index) — cheap (R, S).
     z_vals, _ = stratified_samples(
@@ -61,7 +75,12 @@ def _sharded_loss(params, ro, rd, target, k_jitter, s: TrainSettings, n_sample: 
 
     pts = ro[:, None, :] + rd[:, None, :] * z_blk[..., None]
     xenc = positional_encoding(pts.reshape(-1, 3), num_freqs=s.num_freqs)
-    rgb, sigma = apply_tinynerf(params, xenc, s.model_cfg)
+    noise = (
+        _block_sigma_noise(k_noise, noise_std, local_rand * sb, n_sample)
+        if noise_std > 0.0
+        else None
+    )
+    rgb, sigma = apply_tinynerf(params, xenc, s.model_cfg, sigma_noise=noise)
     partials = composite_block_partials(
         rgb.reshape(local_rand, sb, 3), sigma.reshape(local_rand, sb), z_blk, d_blk
     )
@@ -98,6 +117,11 @@ def _sharded_nerf_loss(
     from tinynerf_tpu.ops.sampling import sample_pdf
 
     local_rand = ro.shape[0]
+    noise_std = getattr(s, "sigma_noise_std", 0.0)
+    k_nc = k_nf = None
+    if noise_std > 0.0:
+        # Split ONLY when noise is on (noise-off streams unchanged).
+        key, k_nc, k_nf = jax.random.split(key, 3)
     k_strat, k_pdf = jax.random.split(key)
 
     if cfg.use_viewdirs:
@@ -106,7 +130,7 @@ def _sharded_nerf_loss(
     else:
         d_enc_ray = None
 
-    def sharded_pass(mlp_params, z_vals, need_weights: bool):
+    def sharded_pass(mlp_params, z_vals, need_weights: bool, k_noise=None):
         """z_vals (R, S) identical across sample peers -> composite
         (and optionally the full (R, S) per-sample weights)."""
         S = z_vals.shape[1]
@@ -124,7 +148,12 @@ def _sharded_nerf_loss(
         d_enc = (
             jnp.repeat(d_enc_ray, sb, axis=0) if cfg.use_viewdirs else None
         )
-        rgb, sigma = apply_nerf_mlp(mlp_params, x_enc, d_enc, cfg)
+        noise = (
+            _block_sigma_noise(k_noise, noise_std, local_rand * sb, n_sample)
+            if noise_std > 0.0
+            else None
+        )
+        rgb, sigma = apply_nerf_mlp(mlp_params, x_enc, d_enc, cfg, sigma_noise=noise)
         partials, w_local = composite_block_partials(
             rgb.reshape(local_rand, sb, 3),
             sigma.reshape(local_rand, sb),
@@ -158,7 +187,9 @@ def _sharded_nerf_loss(
     z_c, _ = stratified_samples(
         s.near, s.far, s.n_samples, ro, rd, randomized=True, key=k_strat
     )
-    comp_c, weights = sharded_pass(params["coarse"], z_c, need_weights=True)
+    comp_c, weights = sharded_pass(
+        params["coarse"], z_c, need_weights=True, k_noise=k_nc
+    )
 
     # --- hierarchical resample (identical on all sample peers) ---
     z_mids = 0.5 * (z_c[:, 1:] + z_c[:, :-1])
@@ -172,7 +203,9 @@ def _sharded_nerf_loss(
     z_union = jnp.sort(jnp.concatenate([z_c, z_f], axis=-1), axis=-1)
 
     # --- fine (the long sample axis this mesh exists to shard) ---
-    comp_f, _ = sharded_pass(params["fine"], z_union, need_weights=False)
+    comp_f, _ = sharded_pass(
+        params["fine"], z_union, need_weights=False, k_noise=k_nf
+    )
 
     t = target.astype(jnp.float32)
     mse_c = jnp.mean((comp_c - t) ** 2)

@@ -50,6 +50,14 @@ class TrainSettings:
     lr_decay_steps: int = 0
     lr_decay_factor: float = 0.1
     white_bkgd: bool = True
+    # Train-time N(0, std) noise on raw density pre-ReLU (the NeRF
+    # paper's raw_noise_std). 0.0 = reference parity (no noise). The
+    # anti-sigma-death regularizer: with pool-mode ray batching the
+    # decorrelated early gradient can push raw sigma negative
+    # EVERYWHERE (white background explains most pixels), after which
+    # ReLU gradients are exactly zero and Adam momentum makes the death
+    # permanent — measured on TPU, see docs/DESIGN.md.
+    sigma_noise_std: float = 0.0
     # "image": each step draws rays from ONE image (step % N) — the
     # reference's semantics (src/train.py:108-112). "pool": each step
     # draws from the union of every train pixel — the full-NeRF paper's
@@ -86,11 +94,20 @@ def loss_fn(
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """MSE loss over one ray batch (jittered sampling)."""
     n_rand = rays_o.shape[0]
+    noise_std = getattr(s, "sigma_noise_std", 0.0)
+    noise = None
+    if noise_std > 0.0:
+        # Split ONLY when noise is on: the noise-off jitter stream stays
+        # bit-identical to the historical recipe.
+        key, k_noise = jax.random.split(key)
+        noise = noise_std * jax.random.normal(
+            k_noise, (n_rand * s.n_samples, 1), jnp.float32
+        )
     z_vals, pts = stratified_samples(
         s.near, s.far, s.n_samples, rays_o, rays_d, randomized=True, key=key
     )
     xenc = positional_encoding(pts.reshape(-1, 3), num_freqs=s.num_freqs)
-    rgb, sigma = apply_tinynerf(params, xenc, s.model_cfg)
+    rgb, sigma = apply_tinynerf(params, xenc, s.model_cfg, sigma_noise=noise)
     rgb = rgb.reshape(n_rand, s.n_samples, 3)
     sigma = sigma.reshape(n_rand, s.n_samples)
     comp_rgb, _, _, _ = volume_render(rgb, sigma, z_vals, rays_d, white_bkgd=s.white_bkgd)
