@@ -298,3 +298,141 @@ def test_noise_off_streams_bit_identical():
         params, ro, rd, target, key, dataclasses.replace(s, sigma_noise_std=0.0)
     )
     np.testing.assert_array_equal(np.asarray(l_a), np.asarray(l_b))
+
+
+def test_noise_scale_kwargs_schedule():
+    """Linear decay hook: {} when off; 1 -> 0 over decay_steps when on."""
+    import dataclasses
+
+    from tinynerf_tpu.training import noise_scale_kwargs
+
+    s_off = TrainSettings(sigma_noise_std=1.0)  # no decay configured
+    assert noise_scale_kwargs(s_off, 0) == {}
+    s_no_noise = TrainSettings(sigma_noise_decay_steps=100)  # std 0
+    assert noise_scale_kwargs(s_no_noise, 0) == {}
+    s = TrainSettings(sigma_noise_std=1.0, sigma_noise_decay_steps=100)
+    assert float(noise_scale_kwargs(s, 0)["noise_scale"]) == 1.0
+    assert float(noise_scale_kwargs(s, 50)["noise_scale"]) == 0.5
+    assert float(noise_scale_kwargs(s, 100)["noise_scale"]) == 0.0
+    assert float(noise_scale_kwargs(s, 10_000)["noise_scale"]) == 0.0
+    # works with a traced step too
+    assert float(
+        jax.jit(lambda t: noise_scale_kwargs(s, t)["noise_scale"])(
+            jnp.asarray(25, jnp.int32)
+        )
+    ) == 0.75
+
+
+def test_noise_scale_zero_neutralizes_noise_same_key_stream():
+    """scale=0 with std>0 must equal an (effectively) zero-noise run on
+    the SAME split stream — i.e. the decay endpoint really removes the
+    regularizer without perturbing jitter keys."""
+    cfg = TinyNeRFConfig(
+        in_dim=encoding_dim(4), hidden=32, compute_dtype=jnp.float32
+    )
+    import dataclasses
+
+    s = TrainSettings(
+        n_rand=16, n_samples=8, num_freqs=4, model_cfg=cfg,
+        sigma_noise_std=1.0,
+    )
+    params, _ = init_train_state(jax.random.PRNGKey(0), s)
+    rng = np.random.RandomState(0)
+    ro = jnp.asarray(rng.randn(16, 3).astype(np.float32) * 0.1)
+    rd = rng.randn(16, 3).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    rd = jnp.asarray(rd)
+    target = jnp.asarray(rng.rand(16, 3).astype(np.float32))
+    key = jax.random.PRNGKey(5)
+
+    l_scaled0, _ = loss_fn(params, ro, rd, target, key, s, noise_scale=0.0)
+    s_tiny = dataclasses.replace(s, sigma_noise_std=1e-30)  # same splits
+    l_ref, _ = loss_fn(params, ro, rd, target, key, s_tiny)
+    np.testing.assert_allclose(
+        np.asarray(l_scaled0), np.asarray(l_ref), rtol=1e-6
+    )
+    # and scale=1 differs (the noise is real at full scale)
+    l_full, _ = loss_fn(params, ro, rd, target, key, s, noise_scale=1.0)
+    assert abs(float(l_full) - float(l_scaled0)) > 1e-7
+
+
+def test_fused_grad_fns_accept_noise_scale():
+    """Both fused grad-fn factories accept the decay kwarg; scale=0
+    reproduces the near-zero-noise gradients on the same key stream."""
+    import dataclasses
+
+    from tinynerf_tpu.kernels.fused_train import make_fused_grad_fn
+
+    cfg = TinyNeRFConfig(
+        in_dim=encoding_dim(4), hidden=32, compute_dtype=jnp.float32
+    )
+    s = TrainSettings(
+        n_rand=32, n_samples=16, num_freqs=4, model_cfg=cfg,
+        sigma_noise_std=1.0,
+    )
+    params, _ = init_train_state(jax.random.PRNGKey(0), s)
+    rng = np.random.RandomState(0)
+    ro = jnp.asarray(rng.randn(32, 3).astype(np.float32) * 0.1)
+    rd = rng.randn(32, 3).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    rd = jnp.asarray(rd)
+    target = jnp.asarray(rng.rand(32, 3).astype(np.float32))
+    key = jax.random.PRNGKey(7)
+
+    gfn = make_fused_grad_fn(s, tile_r=32, interpret=True)
+    g0, m0 = gfn(params, ro, rd, target, key, noise_scale=0.0)
+    gfn_tiny = make_fused_grad_fn(
+        dataclasses.replace(s, sigma_noise_std=1e-30), tile_r=32,
+        interpret=True,
+    )
+    g_ref, m_ref = gfn_tiny(params, ro, rd, target, key)
+    np.testing.assert_allclose(
+        float(m0["loss"]), float(m_ref["loss"]), rtol=1e-6
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g_ref)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6
+        )
+
+
+def test_train_block_with_noise_decay_runs():
+    """e2e: a scan block with decay configured compiles and trains
+    (kwargs threaded through _step_body for both loss and grad_fn)."""
+    from tinynerf_tpu.training import make_train_block
+
+    cfg = TinyNeRFConfig(
+        in_dim=encoding_dim(4), hidden=32, compute_dtype=jnp.float32
+    )
+    s = TrainSettings(
+        n_rand=16, n_samples=8, num_freqs=4, model_cfg=cfg,
+        sigma_noise_std=1.0, sigma_noise_decay_steps=2,
+        ray_sampling="pool",
+    )
+    params, opt_state = init_train_state(jax.random.PRNGKey(0), s)
+    rng = np.random.RandomState(0)
+    n_img, hw = 2, 64
+    ro = jnp.asarray(rng.randn(n_img, hw, 3).astype(np.float32) * 0.1)
+    rd = rng.randn(n_img, hw, 3).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    rd = jnp.asarray(rd)
+    px = jnp.asarray(rng.rand(n_img, hw, 3).astype(np.float32))
+    block = make_train_block(s, block_size=4)
+    params, opt_state, metrics = block(
+        params, opt_state, jax.random.PRNGKey(1), jnp.asarray(0, jnp.int32),
+        ro, rd, px,
+    )
+    assert np.isfinite(np.asarray(metrics["loss"])).all()
+
+
+def test_config_threads_sigma_noise_decay():
+    from tinynerf_tpu.config import Config
+
+    assert Config().train_settings().sigma_noise_decay_steps == 0
+    assert (
+        Config(sigma_noise_decay_steps=2000)
+        .train_settings()
+        .sigma_noise_decay_steps
+        == 2000
+    )

@@ -68,6 +68,11 @@ class Config:
     # gradient can push raw sigma negative everywhere, zeroing all
     # gradients permanently (measured on TPU — docs/DESIGN.md). Use
     # ~1.0 with --ray-sampling pool.
+    sigma_noise_decay_steps: int = 0  # >0: linearly decay the noise to
+    # 0 over this many steps. The regularizer is only needed through the
+    # early death-window; held constant it fogs free space late in
+    # training (measured: constant-noise pool run lost ~5 dB on
+    # top-down views). Recommended: ~2000 with --ray-sampling pool.
 
     # --- forward-facing (LLFF-style) scenes: NDC reparameterization ---
     ndc: bool = False  # project rays to NDC space (ops/rays.ndc_rays,
@@ -128,6 +133,7 @@ class Config:
             far=1.0 if self.ndc else self.far,
             ray_sampling=self.ray_sampling,
             sigma_noise_std=self.sigma_noise_std,
+            sigma_noise_decay_steps=self.sigma_noise_decay_steps,
             num_freqs=self.num_freqs,
             lr=self.lr,
             lr_decay_steps=self.lr_decay_steps,

@@ -518,7 +518,7 @@ def make_fused_nerf_grad_fn(
 
     noise_std = getattr(s, "sigma_noise_std", 0.0)
 
-    def grad_fn(params, ro, rd, target, key):
+    def grad_fn(params, ro, rd, target, key, noise_scale=1.0):
         noise_c = noise_f = None
         if noise_std > 0.0:
             # Extra splits ONLY when noise is on (noise-off streams stay
@@ -527,10 +527,10 @@ def make_fused_nerf_grad_fn(
             # streamed kernel's two passes read one consistent buffer.
             key, k_nc, k_nf = jax.random.split(key, 3)
             R = ro.shape[0]
-            noise_c = noise_std * jax.random.normal(
+            noise_c = noise_scale * noise_std * jax.random.normal(
                 k_nc, (R, s.n_samples), jnp.float32
             )
-            noise_f = noise_std * jax.random.normal(
+            noise_f = noise_scale * noise_std * jax.random.normal(
                 k_nf, (R, s_union), jnp.float32
             )
         k_seed, k_pdf = jax.random.split(key)

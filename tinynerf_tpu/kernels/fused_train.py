@@ -409,13 +409,13 @@ def make_fused_grad_fn(
 
     noise_std = getattr(s, "sigma_noise_std", 0.0)
 
-    def grad_fn(params, ro, rd, target, key):
+    def grad_fn(params, ro, rd, target, key, noise_scale=1.0):
         noise = None
         if noise_std > 0.0:
             # Split ONLY when noise is on: noise-off seed stream stays
             # bit-identical to the historical recipe.
             key, k_noise = jax.random.split(key)
-            noise = noise_std * jax.random.normal(
+            noise = noise_scale * noise_std * jax.random.normal(
                 k_noise, (ro.shape[0], s.n_samples), jnp.float32
             )
         seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)

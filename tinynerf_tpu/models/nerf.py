@@ -134,13 +134,17 @@ def render_rays_hierarchical(
     randomized: bool = False,
     key: Optional[jax.Array] = None,
     sigma_noise_std: float = 0.0,
+    sigma_noise_scale=1.0,
 ):
     """Coarse pass -> inverse-CDF resample -> fine pass on the union.
 
     Returns (comp_coarse (R,3), comp_fine (R,3)).
 
     sigma_noise_std > 0 adds N(0, std) noise to raw density pre-ReLU in
-    BOTH passes (train-time only: requires randomized=True/key).
+    BOTH passes (train-time only: requires randomized=True/key);
+    sigma_noise_scale (traced scalar ok) multiplies the drawn noise —
+    the decay-schedule hook (training.TrainSettings
+    .sigma_noise_decay_steps).
     """
     n_rays = rays_o.shape[0]
     k_nc = k_nf = None
@@ -168,7 +172,7 @@ def render_rays_hierarchical(
         )
         noise = None
         if sigma_noise_std > 0.0 and k_noise is not None:
-            noise = sigma_noise_std * jax.random.normal(
+            noise = sigma_noise_scale * sigma_noise_std * jax.random.normal(
                 k_noise, (n_rays * n_samples, 1), jnp.float32
             )
         rgb, sigma = apply_nerf_mlp(mlp_params, x_enc, d_enc, cfg, sigma_noise=noise)
@@ -212,7 +216,7 @@ def make_hierarchical_loss(cfg: NeRFConfig, n_fine: int = 64):
     """
     from tinynerf_tpu.utils.metrics import mse2psnr
 
-    def loss(params, ro, rd, target, key, s):
+    def loss(params, ro, rd, target, key, s, noise_scale=1.0):
         comp_c, comp_f = render_rays_hierarchical(
             params,
             ro,
@@ -226,6 +230,7 @@ def make_hierarchical_loss(cfg: NeRFConfig, n_fine: int = 64):
             randomized=True,
             key=key,
             sigma_noise_std=getattr(s, "sigma_noise_std", 0.0),
+            sigma_noise_scale=noise_scale,
         )
         target = target.astype(jnp.float32)
         mse_c = jnp.mean((comp_c - target) ** 2)

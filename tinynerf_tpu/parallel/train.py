@@ -37,20 +37,25 @@ from tinynerf_tpu.ops.volume import (
     global_deltas,
 )
 from tinynerf_tpu.parallel.mesh import DATA_AXIS, SAMPLE_AXIS, make_mesh, mesh_axes
-from tinynerf_tpu.training import TrainSettings, settings_optimizer
+from tinynerf_tpu.training import (
+    TrainSettings,
+    noise_scale_kwargs,
+    settings_optimizer,
+)
 from tinynerf_tpu.utils.metrics import mse2psnr
 
 
-def _block_sigma_noise(k_noise, noise_std, n_pts, n_sample):
+def _block_sigma_noise(k_noise, noise_std, n_pts, n_sample, scale=1.0):
     """Per-sample-block density noise (see training.TrainSettings
     .sigma_noise_std): deterministic given (key, block index), so every
-    sample peer's gathered composite is identical."""
+    sample peer's gathered composite is identical. `scale` (traced
+    scalar ok) is the decay-schedule hook (sigma_noise_decay_steps)."""
     if n_sample > 1:
         k_noise = jax.random.fold_in(k_noise, jax.lax.axis_index(SAMPLE_AXIS))
-    return noise_std * jax.random.normal(k_noise, (n_pts, 1), jnp.float32)
+    return scale * noise_std * jax.random.normal(k_noise, (n_pts, 1), jnp.float32)
 
 
-def _sharded_loss(params, ro, rd, target, k_jitter, s: TrainSettings, n_sample: int):
+def _sharded_loss(params, ro, rd, target, k_jitter, s: TrainSettings, n_sample: int, noise_scale=1.0):
     """Loss over this device's rays, MLP restricted to its sample block."""
     local_rand = ro.shape[0]
     sb = s.n_samples // n_sample
@@ -76,7 +81,7 @@ def _sharded_loss(params, ro, rd, target, k_jitter, s: TrainSettings, n_sample: 
     pts = ro[:, None, :] + rd[:, None, :] * z_blk[..., None]
     xenc = positional_encoding(pts.reshape(-1, 3), num_freqs=s.num_freqs)
     noise = (
-        _block_sigma_noise(k_noise, noise_std, local_rand * sb, n_sample)
+        _block_sigma_noise(k_noise, noise_std, local_rand * sb, n_sample, noise_scale)
         if noise_std > 0.0
         else None
     )
@@ -97,7 +102,8 @@ def _sharded_loss(params, ro, rd, target, k_jitter, s: TrainSettings, n_sample: 
 
 
 def _sharded_nerf_loss(
-    params, ro, rd, target, key, s: TrainSettings, n_sample: int, cfg, n_fine: int
+    params, ro, rd, target, key, s: TrainSettings, n_sample: int, cfg, n_fine: int,
+    noise_scale=1.0,
 ):
     """Hierarchical (coarse+fine) loss with the fine pass's sample-axis
     union sharded over SAMPLE_AXIS — the "long-context" case the 2-D
@@ -149,7 +155,7 @@ def _sharded_nerf_loss(
             jnp.repeat(d_enc_ray, sb, axis=0) if cfg.use_viewdirs else None
         )
         noise = (
-            _block_sigma_noise(k_noise, noise_std, local_rand * sb, n_sample)
+            _block_sigma_noise(k_noise, noise_std, local_rand * sb, n_sample, noise_scale)
             if noise_std > 0.0
             else None
         )
@@ -249,8 +255,9 @@ def make_sharded_train_block(
                 f"fine union {s.n_samples}+{n_fine} not divisible by "
                 f"sample axis {n_sample}"
             )
-        loss = lambda p, ro, rd, t, k, s_: _sharded_nerf_loss(
-            p, ro, rd, t, k, s_, n_sample, nerf_cfg, n_fine
+        loss = lambda p, ro, rd, t, k, s_, noise_scale=1.0: _sharded_nerf_loss(
+            p, ro, rd, t, k, s_, n_sample, nerf_cfg, n_fine,
+            noise_scale=noise_scale,
         )
     elif loss is not None and n_sample > 1:
         raise ValueError(
@@ -281,16 +288,17 @@ def make_sharded_train_block(
             rd = rays_d_all[img_i][inds]
             target = pixels[img_i][inds]
 
+        nkw = noise_scale_kwargs(s, step)
         if grad_fn is not None:
             # e.g. the fused Pallas train kernel: each device runs it on
             # its local ray shard; grads are then pmean'd like any DP.
-            grads, metrics = grad_fn(params, ro, rd, target, k_jitter)
+            grads, metrics = grad_fn(params, ro, rd, target, k_jitter, **nkw)
         else:
             if loss is not None:
-                local_loss = lambda p: loss(p, ro, rd, target, k_jitter, s)
+                local_loss = lambda p: loss(p, ro, rd, target, k_jitter, s, **nkw)
             else:
                 local_loss = lambda p: _sharded_loss(
-                    p, ro, rd, target, k_jitter, s, n_sample
+                    p, ro, rd, target, k_jitter, s, n_sample, **nkw
                 )
             grads, metrics = jax.grad(local_loss, has_aux=True)(params)
         if n_sample > 1:

@@ -58,6 +58,12 @@ class TrainSettings:
     # ReLU gradients are exactly zero and Adam momentum makes the death
     # permanent — measured on TPU, see docs/DESIGN.md.
     sigma_noise_std: float = 0.0
+    # >0: linearly decay the sigma noise from sigma_noise_std to 0 over
+    # this many steps. The noise only needs to live through the early
+    # death-window (the first ~1k steps); held constant it acts as a
+    # density fog late in training — measured: the constant-noise pool
+    # run's top-down views dropped ~5 dB (benchmarks/r3).
+    sigma_noise_decay_steps: int = 0
     # "image": each step draws rays from ONE image (step % N) — the
     # reference's semantics (src/train.py:108-112). "pool": each step
     # draws from the union of every train pixel — the full-NeRF paper's
@@ -84,6 +90,19 @@ def settings_optimizer(s: TrainSettings) -> optax.GradientTransformation:
     return make_optimizer(s.lr, s.lr_decay_steps, s.lr_decay_factor)
 
 
+def noise_scale_kwargs(s, step) -> Dict[str, jax.Array]:
+    """`{"noise_scale": ...}` when sigma-noise decay is configured, else
+    {} — call sites splat this so decay-off traces (and external
+    grad_fn/loss signatures that predate the kwarg) are untouched."""
+    decay = getattr(s, "sigma_noise_decay_steps", 0)
+    if decay <= 0 or getattr(s, "sigma_noise_std", 0.0) <= 0.0:
+        return {}
+    scale = jnp.clip(
+        1.0 - jnp.asarray(step, jnp.float32) / float(decay), 0.0, 1.0
+    )
+    return {"noise_scale": scale}
+
+
 def loss_fn(
     params,
     rays_o: jax.Array,
@@ -91,6 +110,7 @@ def loss_fn(
     target: jax.Array,
     key: jax.Array,
     s: TrainSettings,
+    noise_scale=1.0,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """MSE loss over one ray batch (jittered sampling)."""
     n_rand = rays_o.shape[0]
@@ -100,7 +120,7 @@ def loss_fn(
         # Split ONLY when noise is on: the noise-off jitter stream stays
         # bit-identical to the historical recipe.
         key, k_noise = jax.random.split(key)
-        noise = noise_std * jax.random.normal(
+        noise = noise_scale * noise_std * jax.random.normal(
             k_noise, (n_rand * s.n_samples, 1), jnp.float32
         )
     z_vals, pts = stratified_samples(
@@ -142,11 +162,12 @@ def _step_body(
         rd = rays_d_all[img_i][inds]
         target = pixels[img_i][inds]
 
+    nkw = noise_scale_kwargs(s, step)
     if grad_fn is not None:
-        grads, metrics = grad_fn(params, ro, rd, target, k_jitter)
+        grads, metrics = grad_fn(params, ro, rd, target, k_jitter, **nkw)
     else:
         grads, metrics = jax.grad(
-            lambda p: loss(p, ro, rd, target, k_jitter, s), has_aux=True
+            lambda p: loss(p, ro, rd, target, k_jitter, s, **nkw), has_aux=True
         )(params)
     updates, opt_state = opt.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
