@@ -233,11 +233,15 @@ def _compiled_parity_gates(settings, cfg, ncfg):
     out["parity_grad_maxrel_nerf"] = round(rel, 5)
 
     # --- Streamed fine kernel (S=512) vs monolithic grads on one z ---
+    # sigma_noise injected so the compiled gate also covers the
+    # flagship pool-mode recipe's noise input path (the rematerialized
+    # backward must read the same buffer as the forward).
     z = jnp.sort(jax.random.uniform(jax.random.fold_in(key, 3),
                                     (2048, 512), minval=2.0, maxval=6.0), axis=1)
+    noise = jax.random.normal(jax.random.fold_in(key, 4), (2048, 512))
     l_s, g_s = jax.jit(lambda p: fused_nerf_pass_grads_streamed(
         p["fine"], ro[:2048], rd[:2048], tgt[:2048], z, cfg=ncfg,
-        sample_block=128))(nparams)
+        sigma_noise=noise, sample_block=128))(nparams)
 
     def fine_xla(p):
         from tinynerf_tpu.models.nerf import apply_nerf_mlp
@@ -249,7 +253,8 @@ def _compiled_parity_gates(settings, cfg, ncfg):
         vd = rd[:2048] / jnp.linalg.norm(rd[:2048], axis=-1, keepdims=True)
         de = jnp.repeat(positional_encoding(vd, num_freqs=ncfg.num_freqs_dir),
                         512, axis=0)
-        rgb, sig = apply_nerf_mlp(p, x, de, ncfg)
+        rgb, sig = apply_nerf_mlp(p, x, de, ncfg,
+                                  sigma_noise=noise.reshape(-1, 1))
         comp, _, _, _ = volume_render(rgb.reshape(2048, 512, 3),
                                       sig.reshape(2048, 512), z, rd[:2048])
         return jnp.mean((comp - tgt[:2048]) ** 2)
