@@ -156,18 +156,34 @@ def test_unknown_model_rejected(tiny_npz, tmp_path):
         train.main(_cfg(tiny_npz, tmp_path, model="bogus"))
 
 
-def test_fused_train_with_sample_parallel_rejected(tiny_npz, tmp_path):
+def test_fused_train_with_sample_parallel_tinynerf_rejected(tiny_npz, tmp_path):
     """--fused-train + --sample-parallel > 1 used to SILENTLY drop the
     fused kernel and train the XLA sharded loss (VERDICT r2 weak #3);
-    it must fail loud instead."""
+    for tinynerf (no block-partials kernel) it must fail loud."""
     from tinynerf_tpu import train
 
     cfg = _cfg(
-        tiny_npz, tmp_path, model="nerf", n_fine=8, fused_train=True,
+        tiny_npz, tmp_path, fused_train=True,
         data_parallel=True, sample_parallel=2,
     )
     with pytest.raises(ValueError, match="fused-train"):
         train.main(cfg)
+
+
+def test_fused_train_with_sample_parallel_nerf_composes(tiny_npz, tmp_path):
+    """--model nerf --fused-train --data-parallel --sample-parallel 2:
+    the driver routes to the sharded loss with the block-partials
+    Pallas kernels (kernels/fused_partials.py) and learns end to end —
+    the round-2 silent-drop combination, now a real capability."""
+    from tinynerf_tpu import train
+
+    cfg = _cfg(
+        tiny_npz, tmp_path, model="nerf", n_fine=8, fused_train=True,
+        data_parallel=True, sample_parallel=2, holdout=2,
+    )
+    res = train.main(cfg)
+    assert np.isfinite(res["final_psnr"])
+    assert res["eval"]["psnr_mean"] > 5
 
 
 def test_sample_parallel_without_data_parallel_rejected(tiny_npz, tmp_path):

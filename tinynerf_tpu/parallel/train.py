@@ -103,7 +103,7 @@ def _sharded_loss(params, ro, rd, target, k_jitter, s: TrainSettings, n_sample: 
 
 def _sharded_nerf_loss(
     params, ro, rd, target, key, s: TrainSettings, n_sample: int, cfg, n_fine: int,
-    noise_scale=1.0,
+    noise_scale=1.0, fused_kernels: bool = False,
 ):
     """Hierarchical (coarse+fine) loss with the fine pass's sample-axis
     union sharded over SAMPLE_AXIS — the "long-context" case the 2-D
@@ -118,9 +118,24 @@ def _sharded_nerf_loss(
     jitter/resample keys do not involve the sample index), so the
     caller's pmean over SAMPLE_AXIS recovers sum-of-block gradient
     contributions exactly (see make_sharded_train_block).
+
+    fused_kernels=True swaps each pass's encode->MLP->block-composite
+    for the Pallas block-partials kernel pair
+    (kernels/fused_partials.py): the kernel emits the SAME {T, C, D, A}
+    summaries (+ local weights for the coarse pass's resampling), so
+    the gather/combine and gradient collectives are unchanged — the
+    cotangents jax.grad sends back through all_gather+combine are
+    consumed by the kernel's fused backward. This composes the two
+    sample-axis scaling mechanisms: in-kernel streaming (VMEM) x
+    cross-device sharding (ICI).
     """
     from tinynerf_tpu.models.nerf import apply_nerf_mlp
     from tinynerf_tpu.ops.sampling import sample_pdf
+
+    if fused_kernels:
+        from tinynerf_tpu.kernels.fused_partials import (
+            make_fused_block_partials_fn,
+        )
 
     local_rand = ro.shape[0]
     noise_std = getattr(s, "sigma_noise_std", 0.0)
@@ -149,24 +164,47 @@ def _sharded_nerf_loss(
         else:
             z_blk, d_blk = z_vals, deltas
 
-        pts = ro[:, None, :] + rd[:, None, :] * z_blk[..., None]
-        x_enc = positional_encoding(pts.reshape(-1, 3), num_freqs=cfg.num_freqs)
-        d_enc = (
-            jnp.repeat(d_enc_ray, sb, axis=0) if cfg.use_viewdirs else None
-        )
         noise = (
             _block_sigma_noise(k_noise, noise_std, local_rand * sb, n_sample, noise_scale)
             if noise_std > 0.0
             else None
         )
-        rgb, sigma = apply_nerf_mlp(mlp_params, x_enc, d_enc, cfg, sigma_noise=noise)
-        partials, w_local = composite_block_partials(
-            rgb.reshape(local_rand, sb, 3),
-            sigma.reshape(local_rand, sb),
-            z_blk,
-            d_blk,
-            return_weights=True,
-        )
+        if fused_kernels:
+            # Pallas block-partials kernel: same {T,C,D,A} (+ local w)
+            # summaries, fused encode->MLP->composite in VMEM.
+            partials, w_local = make_fused_block_partials_fn(
+                cfg,
+                emit_weights=need_weights,
+                tile_r=min(128, local_rand),
+                sample_block=min(128, sb),
+            )(
+                mlp_params,
+                ro,
+                rd,
+                z_blk,
+                d_blk,
+                noise.reshape(local_rand, sb)
+                if noise is not None
+                else jnp.zeros((local_rand, sb), jnp.float32),
+            )
+        else:
+            pts = ro[:, None, :] + rd[:, None, :] * z_blk[..., None]
+            x_enc = positional_encoding(
+                pts.reshape(-1, 3), num_freqs=cfg.num_freqs
+            )
+            d_enc = (
+                jnp.repeat(d_enc_ray, sb, axis=0) if cfg.use_viewdirs else None
+            )
+            rgb, sigma = apply_nerf_mlp(
+                mlp_params, x_enc, d_enc, cfg, sigma_noise=noise
+            )
+            partials, w_local = composite_block_partials(
+                rgb.reshape(local_rand, sb, 3),
+                sigma.reshape(local_rand, sb),
+                z_blk,
+                d_blk,
+                return_weights=True,
+            )
         if n_sample > 1:
             gathered = jax.tree_util.tree_map(
                 lambda x: jax.lax.all_gather(x, SAMPLE_AXIS, axis=0), partials
@@ -231,6 +269,7 @@ def make_sharded_train_block(
     grad_fn=None,
     nerf_cfg=None,
     n_fine: int = 64,
+    fused_kernels: bool = False,
 ):
     """Jitted sharded K-step block with the same signature as
     training.make_train_block: (params, opt_state, key, step0,
@@ -257,7 +296,12 @@ def make_sharded_train_block(
             )
         loss = lambda p, ro, rd, t, k, s_, noise_scale=1.0: _sharded_nerf_loss(
             p, ro, rd, t, k, s_, n_sample, nerf_cfg, n_fine,
-            noise_scale=noise_scale,
+            noise_scale=noise_scale, fused_kernels=fused_kernels,
+        )
+    elif fused_kernels:
+        raise ValueError(
+            "fused_kernels requires nerf_cfg (the block-partials kernels "
+            "implement the NeRF MLP; the TinyNeRF sharded loss is XLA-only)"
         )
     elif loss is not None and n_sample > 1:
         raise ValueError(

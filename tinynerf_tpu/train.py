@@ -122,15 +122,13 @@ def main(cfg: Config) -> dict:
     # Parallelism flag validation: misconfigurations must fail loud,
     # never silently train a different layout than the one requested.
     if cfg.sample_parallel > 1:
-        if cfg.fused_train:
+        if cfg.fused_train and cfg.model != "nerf":
             raise ValueError(
-                "--fused-train is incompatible with --sample-parallel > 1: "
-                "the fused kernels stream sample blocks through VMEM "
-                "in-kernel (large sample counts fit on one device), while "
-                "--sample-parallel shards samples over the mesh via the XLA "
-                "blockwise composite. Pick one: drop --sample-parallel to "
-                "keep the fused kernels, or drop --fused-train to shard "
-                "the sample axis."
+                "--fused-train with --sample-parallel > 1 is only "
+                "implemented for --model nerf (the block-partials kernels, "
+                "kernels/fused_partials.py, implement the NeRF MLP). For "
+                "tinynerf, drop --sample-parallel to keep the fused kernel "
+                "or drop --fused-train to shard the sample axis in XLA."
             )
         if not cfg.data_parallel:
             raise ValueError(
@@ -145,7 +143,7 @@ def main(cfg: Config) -> dict:
             )
 
     grad_fn = None
-    if cfg.fused_train:
+    if cfg.fused_train and cfg.sample_parallel <= 1:
         if cfg.model == "nerf":
             from tinynerf_tpu.kernels.fused_nerf_train import make_fused_nerf_grad_fn
 
@@ -163,9 +161,14 @@ def main(cfg: Config) -> dict:
         mesh = make_mesh(sample_parallel=cfg.sample_parallel)
         if cfg.model == "nerf" and cfg.sample_parallel > 1:
             # The sharded hierarchical loss: the fine union is sharded
-            # over the mesh's sample axis (blockwise composite).
+            # over the mesh's sample axis (blockwise composite). With
+            # --fused-train, each device's pass runs the Pallas
+            # block-partials kernels (kernels/fused_partials.py).
+            if cfg.fused_train:
+                print("[train] fused block-partials kernels on the sample mesh")
             train_block_factory = lambda n: make_sharded_train_block(
-                settings, n, mesh, nerf_cfg=ncfg, n_fine=cfg.n_fine
+                settings, n, mesh, nerf_cfg=ncfg, n_fine=cfg.n_fine,
+                fused_kernels=cfg.fused_train,
             )
         else:
             train_block_factory = lambda n: make_sharded_train_block(
