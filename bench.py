@@ -171,7 +171,13 @@ def _compiled_parity_gates(settings, cfg, ncfg):
         for a, b in zip(jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)):
             a = np.asarray(a, np.float64).ravel()
             b = np.asarray(b, np.float64).ravel()
-            cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-30))
+            na, nb = np.linalg.norm(a), np.linalg.norm(b)
+            if na < 1e-30 and nb < 1e-30:
+                # Exactly-zero on BOTH sides (e.g. the coarse MLP when
+                # its sigma head is ReLU-dead at random init — measured
+                # on-chip 2026-08-17): agreement, not a 0/0 cosine.
+                continue
+            cos = float(a @ b / (na * nb + 1e-30))
             rel = float(np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-30))
             worst_cos, worst_rel = min(worst_cos, cos), max(worst_rel, rel)
         return worst_cos, worst_rel
@@ -184,7 +190,18 @@ def _compiled_parity_gates(settings, cfg, ncfg):
         lambda p: render_rays(p, ro, rd, use_fused=True, **r_kw))(params))
     img_x = np.asarray(jax.jit(
         lambda p: render_rays(p, ro, rd, use_fused=False, **r_kw))(params))
-    out["parity_render_max_err_tinynerf"] = float(np.max(np.abs(img_f - img_x)))
+    # Per-ray error, gated at p99.9 + mean, NOT max: with the 1e10
+    # terminal delta, the LAST sample's alpha is a step function of
+    # sigma_raw at 0, so at random init a handful of rays whose raw
+    # sigma sits within float noise of 0 legitimately flip between
+    # "opaque at far plane" and "white background" (measured on-chip:
+    # 5/8192 rays at ~0.4 with |sigma_last| < 1e-4, p99.9 = 2e-4). A
+    # Mosaic layout/precision regression shifts the whole distribution;
+    # the step-flip tail is comparison ill-conditioning, not error.
+    ray_err = np.max(np.abs(img_f - img_x), axis=1)
+    out["parity_render_max_err_tinynerf"] = float(ray_err.max())
+    out["parity_render_p999_err_tinynerf"] = float(np.quantile(ray_err, 0.999))
+    out["parity_render_mean_err_tinynerf"] = float(ray_err.mean())
 
     # --- TinyNeRF: fused train grads vs jax.grad (deterministic) ---
     fused_g = make_fused_grad_fn(settings, randomized=False)
@@ -264,13 +281,41 @@ def _compiled_parity_gates(settings, cfg, ncfg):
     out["parity_grad_cos_nerf_stream_s512"] = round(cos, 6)
     out["parity_grad_maxrel_nerf_stream_s512"] = round(rel, 5)
 
+    # --- Block-partials kernel pair (the fused x sample-parallel seam,
+    # kernels/fused_partials.py), compiled: one shard spanning the whole
+    # sample axis == the full composite, so the same S=512 XLA twin is
+    # the oracle; grads exercise the custom_vjp backward kernel with the
+    # combine-produced cotangents.
+    from tinynerf_tpu.kernels.fused_partials import make_fused_block_partials_fn
+    from tinynerf_tpu.ops.volume import combine_block_partials, global_deltas
+
+    fn_p = make_fused_block_partials_fn(ncfg, emit_weights=False, sample_block=128)
+    deltas_p = global_deltas(z, rd[:2048])
+
+    def partials_loss(p):
+        parts, _ = fn_p(p, ro[:2048], rd[:2048], z, deltas_p, noise)
+        stacked = jax.tree_util.tree_map(lambda x: x[None], parts)
+        comp, _, _ = combine_block_partials(stacked, white_bkgd=True)
+        return jnp.mean((comp - tgt[:2048]) ** 2)
+
+    l_p, g_p = jax.jit(jax.value_and_grad(partials_loss))(nparams["fine"])
+    out["parity_loss_relerr_nerf_partials_s512"] = round(
+        float(abs(np.asarray(l_p) - np.asarray(l_s)) / (abs(float(l_s)) + 1e-30)), 6
+    )
+    cos, rel = _cos_and_rel(g_sx, g_p)
+    out["parity_grad_cos_nerf_partials_s512"] = round(cos, 6)
+    out["parity_grad_maxrel_nerf_partials_s512"] = round(rel, 5)
+
     # bf16 compute on both sides but different accumulation orders:
-    # renders agree to ~1e-2 absolute, gradient cosines >= 0.98.
+    # renders agree to ~1e-2 absolute (outside the last-sample step
+    # flips, see above), gradient cosines >= 0.98.
     out["parity_ok"] = bool(
-        out["parity_render_max_err_tinynerf"] < 3e-2
+        out["parity_render_p999_err_tinynerf"] < 3e-2
+        and out["parity_render_mean_err_tinynerf"] < 1e-3
         and out["parity_grad_cos_tinynerf"] > 0.98
         and out["parity_grad_cos_nerf"] > 0.98
         and out["parity_grad_cos_nerf_stream_s512"] > 0.98
+        and out["parity_grad_cos_nerf_partials_s512"] > 0.98
     )
     return out
 
@@ -387,8 +432,13 @@ def main() -> None:
         )
 
         # Flagship render path regression tracker (VERDICT r2 weak #6).
+        # Fresh params: the train block donates its params/opt_state
+        # buffers, so params_n is deleted after the measurement above.
+        params_r, _ = init_train_state(
+            jax.random.PRNGKey(0), settings, init_fn=lambda k: init_nerf(k, ncfg)
+        )
         render_rps_nerf_fused = _measure_nerf_render_scan(
-            params_n, rays_o_all[0][:8192], rays_d_all[0][:8192], ncfg
+            params_r, rays_o_all[0][:8192], rays_d_all[0][:8192], ncfg
         )
 
         # Compiled-kernel parity gates (VERDICT r2 weak #5).
