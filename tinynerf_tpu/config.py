@@ -50,6 +50,11 @@ class Config:
     # --- full-NeRF upgrade (BASELINE config 4; no reference counterpart) ---
     model: str = "tinynerf"  # "tinynerf" | "nerf" (viewdirs + coarse/fine)
     n_fine: int = 64  # fine samples per ray (nerf model only)
+    proposal: str = "coarse"  # nerf model's proposal distribution:
+    # "coarse": a second MLP, the NeRF paper's hierarchical scheme |
+    # "occupancy": a density grid recomputed from the current params
+    # (ops/occupancy.py, NerfAcc-style) — a single MLP then takes
+    # n_samples + n_fine importance samples, no coarse-MLP cost.
     nerf_depth: int = 8
     nerf_skip_at: int = 4
     num_freqs_dir: int = 4

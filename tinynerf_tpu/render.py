@@ -217,6 +217,84 @@ def make_hierarchical_image_renderer(
     return as_frames_renderer(fn) if frames else jax.jit(fn)
 
 
+def make_occupancy_image_renderer(
+    *,
+    H: int,
+    W: int,
+    focal: float,
+    chunk: int = 4096,
+    n_samples: int = 192,
+    near: float = 2.0,
+    far: float = 6.0,
+    white_bkgd: bool = True,
+    nerf_cfg=None,
+    use_fused: bool = False,
+    frames: bool = False,
+    ndc: bool = False,
+    resolution: int = 64,
+    n_segments: int = 64,
+    floor: float = 1e-2,
+    aabb=None,
+):
+    """Jitted `(params, pose) -> (H, W, 3)` renderer for the
+    occupancy-proposal NeRF (params = {'fine': mlp}): the density grid
+    is recomputed from params ONCE per call (outside the chunk map, so
+    chunking stays result-invariant), then every chunk importance-
+    samples n_samples depths from it and runs the single MLP.
+    use_fused routes the MLP through the streamed Pallas render kernel
+    (kernels/fused_nerf_stream.py, which takes caller depths — exactly
+    this composition point)."""
+    from tinynerf_tpu.models.nerf import NeRFConfig, apply_nerf_mlp
+    from tinynerf_tpu.ops.occupancy import density_grid, occupancy_samples
+    from tinynerf_tpu.ops.volume import volume_render
+
+    nerf_cfg = nerf_cfg or NeRFConfig()
+
+    def fn(params, pose):
+        grid = density_grid(
+            params["fine"], nerf_cfg, resolution=resolution, aabb=aabb
+        )
+
+        def one_chunk(ro, rd):
+            z = occupancy_samples(
+                grid, ro, rd, near, far, n_samples,
+                n_segments=n_segments, floor=floor, aabb=aabb,
+                randomized=False,
+            )
+            if use_fused:
+                from tinynerf_tpu.kernels.fused_nerf_stream import (
+                    fused_nerf_render_rays_streamed,
+                )
+                from tinynerf_tpu.ops.occupancy import pick_sample_block
+
+                return fused_nerf_render_rays_streamed(
+                    params["fine"], ro, rd, z, white_bkgd=white_bkgd,
+                    cfg=nerf_cfg, sample_block=pick_sample_block(z.shape[1]),
+                )
+            R, S = z.shape
+            pts = ro[:, None, :] + rd[:, None, :] * z[..., None]
+            x_enc = positional_encoding(
+                pts.reshape(-1, 3), num_freqs=nerf_cfg.num_freqs
+            )
+            d_enc = None
+            if nerf_cfg.use_viewdirs:
+                vd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+                d_enc = jnp.repeat(
+                    positional_encoding(vd, num_freqs=nerf_cfg.num_freqs_dir),
+                    S, axis=0,
+                )
+            rgb, sigma = apply_nerf_mlp(params["fine"], x_enc, d_enc, nerf_cfg)
+            comp, _, _, _ = volume_render(
+                rgb.reshape(R, S, 3), sigma.reshape(R, S), z, rd,
+                white_bkgd=white_bkgd,
+            )
+            return comp
+
+        return chunked_over_rays(one_chunk, H, W, float(focal), pose, chunk, ndc=ndc)
+
+    return as_frames_renderer(fn) if frames else jax.jit(fn)
+
+
 def make_image_renderer(
     *,
     H: int,

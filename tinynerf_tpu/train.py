@@ -75,13 +75,30 @@ def main(cfg: Config) -> dict:
     settings = cfg.train_settings()
     key = jax.random.PRNGKey(cfg.seed)
 
+    if cfg.proposal not in ("coarse", "occupancy"):
+        raise ValueError(f"unknown proposal {cfg.proposal!r} (coarse|occupancy)")
+    occupancy = cfg.model == "nerf" and cfg.proposal == "occupancy"
     if cfg.model == "nerf":
         from tinynerf_tpu.models.nerf import init_nerf, make_hierarchical_loss
 
         ncfg = cfg.nerf_cfg()
-        loss = make_hierarchical_loss(ncfg, n_fine=cfg.n_fine)
-        init_fn = lambda k: init_nerf(k, ncfg)
+        if occupancy:
+            # Grid proposal, single MLP (ops/occupancy.py): params are
+            # {'fine': mlp}; the loss lives in the dedicated block
+            # factory (the grid is rebuilt once per block).
+            from tinynerf_tpu.models.nerf import init_nerf_mlp
+
+            loss = None
+            init_fn = lambda k: {"fine": init_nerf_mlp(k, ncfg)}
+        else:
+            loss = make_hierarchical_loss(ncfg, n_fine=cfg.n_fine)
+            init_fn = lambda k: init_nerf(k, ncfg)
     elif cfg.model == "tinynerf":
+        if cfg.proposal == "occupancy":
+            raise ValueError(
+                "--proposal occupancy requires --model nerf (the grid "
+                "proposes samples for the single NeRF MLP)"
+            )
         loss, init_fn = None, None
     else:
         raise ValueError(f"unknown model {cfg.model!r} (tinynerf|nerf)")
@@ -142,8 +159,16 @@ def main(cfg: Config) -> dict:
                 f"(found {jax.device_count()})"
             )
 
+    if occupancy and (cfg.data_parallel or cfg.sample_parallel > 1):
+        raise ValueError(
+            "--proposal occupancy is single-device in this round "
+            "(the grid-proposal train block is not shard_map'd yet); "
+            "drop --data-parallel/--sample-parallel or use "
+            "--proposal coarse"
+        )
+
     grad_fn = None
-    if cfg.fused_train and cfg.sample_parallel <= 1:
+    if cfg.fused_train and cfg.sample_parallel <= 1 and not occupancy:
         if cfg.model == "nerf":
             from tinynerf_tpu.kernels.fused_nerf_train import make_fused_nerf_grad_fn
 
@@ -154,7 +179,30 @@ def main(cfg: Config) -> dict:
             grad_fn = make_fused_grad_fn(settings)
         print("[train] fused Pallas fwd+bwd kernel enabled")
 
-    if cfg.data_parallel and jax.device_count() > 1:
+    if occupancy:
+        import dataclasses
+
+        from tinynerf_tpu.ops.occupancy import make_occupancy_train_block
+
+        # One MLP takes the WHOLE quadrature budget: n_samples + n_fine
+        # samples from the grid (flag-surface comparable with the
+        # hierarchical recipe at the same total).
+        occ_settings = dataclasses.replace(
+            settings, n_samples=cfg.n_samples + cfg.n_fine
+        )
+        occ_aabb = None
+        if cfg.ndc:
+            from tinynerf_tpu.ops.occupancy import default_aabb
+
+            occ_aabb = default_aabb(1.0)  # the NDC cube
+        if cfg.fused_train:
+            print("[train] occupancy proposal + streamed fused kernel")
+        else:
+            print("[train] occupancy proposal (grid rebuilt once per block)")
+        train_block_factory = lambda n: make_occupancy_train_block(
+            occ_settings, n, ncfg, fused=cfg.fused_train, aabb=occ_aabb
+        )
+    elif cfg.data_parallel and jax.device_count() > 1:
         from tinynerf_tpu.parallel.mesh import make_mesh
         from tinynerf_tpu.parallel.train import make_sharded_train_block
 
@@ -180,7 +228,23 @@ def main(cfg: Config) -> dict:
         )
 
     eff_near, eff_far = (0.0, 1.0) if cfg.ndc else (cfg.near, cfg.far)
-    if cfg.model == "nerf":
+    if occupancy:
+        from tinynerf_tpu.render import make_occupancy_image_renderer
+
+        renderer = make_occupancy_image_renderer(
+            H=H,
+            W=W,
+            focal=focal,
+            chunk=min(cfg.chunk, 4096),
+            n_samples=cfg.n_samples + cfg.n_fine,
+            near=eff_near,
+            far=eff_far,
+            nerf_cfg=ncfg,
+            use_fused=cfg.fused,
+            ndc=cfg.ndc,
+            aabb=occ_aabb,
+        )
+    elif cfg.model == "nerf":
         from tinynerf_tpu.render import make_hierarchical_image_renderer
 
         renderer = make_hierarchical_image_renderer(
@@ -234,6 +298,7 @@ def main(cfg: Config) -> dict:
                     "rgb_hidden": cfg.rgb_hidden,
                     "n_fine": cfg.n_fine,
                     "ndc": cfg.ndc,
+                    "proposal": cfg.proposal,
                 },
             },
         )

@@ -135,15 +135,15 @@ def loss_fn(
     return loss, {"loss": loss, "psnr": mse2psnr(loss)}
 
 
-def _step_body(
-    params, opt_state, key, step, rays_o_all, rays_d_all, pixels, s, opt, loss,
-    grad_fn=None,
-):
-    """One train step; step is a traced int32 scalar.
+def draw_ray_batch(s, key, step, rays_o_all, rays_d_all, pixels):
+    """Per-step ray-batch draw -> (ro, rd, target, k_jitter).
 
-    grad_fn (params, ro, rd, target, key) -> (grads, metrics) replaces
-    jax.grad of `loss` when given (e.g. the fused Pallas train kernel).
-    """
+    THE canonical ray/RNG stream: `fold_in(key, step)`, split into the
+    index key and the jitter key, then image-mode (reference
+    src/train.py:108-112 semantics) or pool-mode (cross-image
+    batching) gathers. Shared by the single-device step, and any
+    external block factory (e.g. ops/occupancy.py) so alternate
+    training paths cannot drift from these semantics."""
     n_images, hw = rays_o_all.shape[0], rays_o_all.shape[1]
     k_step = jax.random.fold_in(key, step)
     k_inds, k_jitter = jax.random.split(k_step)
@@ -161,7 +161,21 @@ def _step_body(
         ro = rays_o_all[img_i][inds]
         rd = rays_d_all[img_i][inds]
         target = pixels[img_i][inds]
+    return ro, rd, target, k_jitter
 
+
+def _step_body(
+    params, opt_state, key, step, rays_o_all, rays_d_all, pixels, s, opt, loss,
+    grad_fn=None,
+):
+    """One train step; step is a traced int32 scalar.
+
+    grad_fn (params, ro, rd, target, key) -> (grads, metrics) replaces
+    jax.grad of `loss` when given (e.g. the fused Pallas train kernel).
+    """
+    ro, rd, target, k_jitter = draw_ray_batch(
+        s, key, step, rays_o_all, rays_d_all, pixels
+    )
     nkw = noise_scale_kwargs(s, step)
     if grad_fn is not None:
         grads, metrics = grad_fn(params, ro, rd, target, k_jitter, **nkw)

@@ -52,7 +52,7 @@ def load_model_and_renderer(
         near, far = 0.0, 1.0
 
     if model_kind == "nerf":
-        from tinynerf_tpu.models.nerf import NeRFConfig, init_nerf
+        from tinynerf_tpu.models.nerf import NeRFConfig, init_nerf, init_nerf_mlp
 
         ncfg = NeRFConfig(
             num_freqs=num_freqs,
@@ -62,13 +62,29 @@ def load_model_and_renderer(
             skip_at=mcfg["skip_at"],
             rgb_hidden=mcfg.get("rgb_hidden", 64),
         )
-        params_t = init_nerf(jax.random.PRNGKey(0), ncfg)
-        renderer = make_hierarchical_image_renderer(
-            H=H, W=W, focal=focal, chunk=min(chunk, 4096),
-            n_coarse=n_samples, n_fine=n_fine or mcfg.get("n_fine", 64),
-            near=near, far=far, nerf_cfg=ncfg, use_fused=fused,
-            frames=frames, ndc=ndc,
-        )
+        if mcfg.get("proposal", "coarse") == "occupancy":
+            # Grid-proposal checkpoints hold a single MLP; the sampler
+            # (the density grid) is recomputed from those params inside
+            # the renderer — nothing else to restore.
+            from tinynerf_tpu.render import make_occupancy_image_renderer
+            from tinynerf_tpu.ops.occupancy import default_aabb
+
+            params_t = {"fine": init_nerf_mlp(jax.random.PRNGKey(0), ncfg)}
+            renderer = make_occupancy_image_renderer(
+                H=H, W=W, focal=focal, chunk=min(chunk, 4096),
+                n_samples=n_samples + (n_fine or mcfg.get("n_fine", 64)),
+                near=near, far=far, nerf_cfg=ncfg, use_fused=fused,
+                frames=frames, ndc=ndc,
+                aabb=default_aabb(1.0) if ndc else None,
+            )
+        else:
+            params_t = init_nerf(jax.random.PRNGKey(0), ncfg)
+            renderer = make_hierarchical_image_renderer(
+                H=H, W=W, focal=focal, chunk=min(chunk, 4096),
+                n_coarse=n_samples, n_fine=n_fine or mcfg.get("n_fine", 64),
+                near=near, far=far, nerf_cfg=ncfg, use_fused=fused,
+                frames=frames, ndc=ndc,
+            )
     else:
         model_cfg = TinyNeRFConfig(
             in_dim=encoding_dim(num_freqs),
