@@ -155,6 +155,42 @@ def test_occupancy_train_block_learns_and_fused_matches_xla():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_occupancy_dp_mesh_learns():
+    """Occupancy block on the 8-device data mesh: finite, decreasing
+    loss; params stay replicated; sample meshes are rejected."""
+    from tinynerf_tpu.parallel.mesh import make_mesh
+
+    s = TrainSettings(n_rand=64, n_samples=16, num_freqs=4, lr=5e-3)
+    rng = np.random.RandomState(3)
+    n_images, hw = 2, 64
+    ro = jnp.asarray(rng.randn(n_images, hw, 3).astype(np.float32) * 0.1)
+    rd = rng.randn(n_images, hw, 3).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    rd = jnp.asarray(rd)
+    pix = jnp.asarray(rng.rand(n_images, hw, 3).astype(np.float32))
+    init = lambda k: {"fine": init_nerf_mlp(k, TINY)}
+
+    mesh = make_mesh()  # 8-way data
+    blk = make_occupancy_train_block(
+        s, 10, TINY, resolution=8, n_segments=16, mesh=mesh
+    )
+    params, opt_state = init_train_state(jax.random.PRNGKey(0), s, init_fn=init)
+    losses = []
+    for b in range(4):
+        params, opt_state, m = blk(
+            params, opt_state, jax.random.PRNGKey(9), jnp.int32(b * 10),
+            ro, rd, pix,
+        )
+        losses.append(float(m["loss"].mean()))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+
+    with pytest.raises(ValueError, match="data-parallel meshes only"):
+        make_occupancy_train_block(
+            s, 10, TINY, mesh=make_mesh(sample_parallel=2)
+        )
+
+
 def test_occupancy_renderer_chunk_invariance():
     from tinynerf_tpu.render import make_occupancy_image_renderer
 

@@ -264,18 +264,46 @@ def make_occupancy_train_block(
     aabb: Optional[jax.Array] = None,
     fused: bool = False,
     interpret=None,
+    mesh=None,
 ):
     """Jitted K-step block, signature-compatible with
     training.make_train_block's return. Per block: ONE density-grid
     rebuild from the carried params (jittered cell points keyed on
     step0), then `block_size` scan steps sampling from that grid.
     Params pytree: {'fine': mlp} — single MLP, the grid IS the coarse
-    stage."""
+    stage.
+
+    mesh: optional 1-D ('data',) Mesh for ray-batch data parallelism —
+    each device draws its own n_rand/n_data rays (key additionally
+    folded with the data index), rebuilds the identical grid from the
+    replicated params, and grads are pmean'd over ICI (same layout as
+    parallel/train.py). Sample-axis meshes are not supported here (the
+    grid proposal has no per-pass composite to shard)."""
     from tinynerf_tpu.training import (
         draw_ray_batch,
         noise_scale_kwargs,
         settings_optimizer,
     )
+
+    n_data = 1
+    if mesh is not None:
+        from tinynerf_tpu.parallel.mesh import DATA_AXIS, mesh_axes
+
+        n_data, n_sample = mesh_axes(mesh)
+        if n_sample > 1:
+            raise ValueError(
+                "occupancy proposal supports data-parallel meshes only "
+                f"(got sample axis {n_sample})"
+            )
+        if s.n_rand % n_data:
+            raise ValueError(
+                f"n_rand={s.n_rand} not divisible by data axis {n_data}"
+            )
+        import dataclasses
+
+        s_local = dataclasses.replace(s, n_rand=s.n_rand // n_data)
+    else:
+        s_local = s
 
     opt = settings_optimizer(s)
     if fused:
@@ -288,19 +316,26 @@ def make_occupancy_train_block(
             cfg, n_segments=n_segments, floor=floor, aabb=aabb
         )
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def train_block(params, opt_state, key, step0, rays_o_all, rays_d_all, pixels):
+    def block(params, opt_state, key, step0, rays_o_all, rays_d_all, pixels):
+        # Identical on every data peer: the grid key ignores the data
+        # index (replicated params -> replicated grid, no collective).
         grid = density_grid(
             params["fine"], cfg, resolution=resolution, aabb=aabb,
             key=jax.random.fold_in(jax.random.fold_in(key, step0), 0x0CC),
         )
         grid = jax.lax.stop_gradient(grid)
+        if mesh is not None:
+            from tinynerf_tpu.parallel.mesh import DATA_AXIS
+
+            k_dev = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
+        else:
+            k_dev = key
 
         def body(carry, i):
             params, opt_state = carry
             step = step0 + i
             ro, rd, target, k_jitter = draw_ray_batch(
-                s, key, step, rays_o_all, rays_d_all, pixels
+                s_local, k_dev, step, rays_o_all, rays_d_all, pixels
             )
             nkw = noise_scale_kwargs(s, step)
             if fused:
@@ -312,6 +347,11 @@ def make_occupancy_train_block(
                     lambda p: loss(p, grid, ro, rd, target, k_jitter, s, **nkw),
                     has_aux=True,
                 )(params)
+            if mesh is not None:
+                from tinynerf_tpu.parallel.mesh import DATA_AXIS
+
+                grads = jax.lax.pmean(grads, DATA_AXIS)
+                metrics = jax.lax.pmean(metrics, DATA_AXIS)
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), metrics
@@ -321,4 +361,14 @@ def make_occupancy_train_block(
         )
         return params, opt_state, metrics
 
-    return train_block
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        block = jax.shard_map(
+            block,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(), P(), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+    return jax.jit(block, donate_argnums=(0, 1))

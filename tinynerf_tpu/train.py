@@ -159,12 +159,11 @@ def main(cfg: Config) -> dict:
                 f"(found {jax.device_count()})"
             )
 
-    if occupancy and (cfg.data_parallel or cfg.sample_parallel > 1):
+    if occupancy and cfg.sample_parallel > 1:
         raise ValueError(
-            "--proposal occupancy is single-device in this round "
-            "(the grid-proposal train block is not shard_map'd yet); "
-            "drop --data-parallel/--sample-parallel or use "
-            "--proposal coarse"
+            "--proposal occupancy does not compose with "
+            "--sample-parallel (the grid proposal has no per-pass "
+            "composite to shard); it does support --data-parallel"
         )
 
     grad_fn = None
@@ -195,12 +194,18 @@ def main(cfg: Config) -> dict:
             from tinynerf_tpu.ops.occupancy import default_aabb
 
             occ_aabb = default_aabb(1.0)  # the NDC cube
+        occ_mesh = None
+        if cfg.data_parallel and jax.device_count() > 1:
+            from tinynerf_tpu.parallel.mesh import make_mesh
+
+            occ_mesh = make_mesh()
         if cfg.fused_train:
             print("[train] occupancy proposal + streamed fused kernel")
         else:
             print("[train] occupancy proposal (grid rebuilt once per block)")
         train_block_factory = lambda n: make_occupancy_train_block(
-            occ_settings, n, ncfg, fused=cfg.fused_train, aabb=occ_aabb
+            occ_settings, n, ncfg, fused=cfg.fused_train, aabb=occ_aabb,
+            mesh=occ_mesh,
         )
     elif cfg.data_parallel and jax.device_count() > 1:
         from tinynerf_tpu.parallel.mesh import make_mesh
