@@ -30,7 +30,6 @@ renderer. Both share the grid + sampling code below.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax
