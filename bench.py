@@ -202,6 +202,11 @@ def _compiled_parity_gates(settings, cfg, ncfg):
     out["parity_render_max_err_tinynerf"] = float(ray_err.max())
     out["parity_render_p999_err_tinynerf"] = float(np.quantile(ray_err, 0.999))
     out["parity_render_mean_err_tinynerf"] = float(ray_err.mean())
+    # Step-flip tail must also stay COUNTED: a regression corrupting a
+    # small set of rays (e.g. one tile boundary = 128 rays = 1.6%) must
+    # not hide behind the quantile gate. Measured legit flip rate:
+    # 5/8192 = 0.06%; gate at 0.25%.
+    out["parity_render_flip_frac_tinynerf"] = float((ray_err > 3e-2).mean())
 
     # --- TinyNeRF: fused train grads vs jax.grad (deterministic) ---
     fused_g = make_fused_grad_fn(settings, randomized=False)
@@ -276,7 +281,7 @@ def _compiled_parity_gates(settings, cfg, ncfg):
                                       sig.reshape(2048, 512), z, rd[:2048])
         return jnp.mean((comp - tgt[:2048]) ** 2)
 
-    g_sx = jax.jit(jax.grad(fine_xla))(nparams["fine"])
+    l_sx, g_sx = jax.jit(jax.value_and_grad(fine_xla))(nparams["fine"])
     cos, rel = _cos_and_rel(g_sx, g_s)
     out["parity_grad_cos_nerf_stream_s512"] = round(cos, 6)
     out["parity_grad_maxrel_nerf_stream_s512"] = round(rel, 5)
@@ -299,8 +304,13 @@ def _compiled_parity_gates(settings, cfg, ncfg):
         return jnp.mean((comp - tgt[:2048]) ** 2)
 
     l_p, g_p = jax.jit(jax.value_and_grad(partials_loss))(nparams["fine"])
+    # Loss compared against the XLA oracle (NOT the sibling kernel — a
+    # common-mode bug shared by both fused kernels must still surface).
     out["parity_loss_relerr_nerf_partials_s512"] = round(
-        float(abs(np.asarray(l_p) - np.asarray(l_s)) / (abs(float(l_s)) + 1e-30)), 6
+        float(abs(np.asarray(l_p) - np.asarray(l_sx)) / (abs(float(l_sx)) + 1e-30)), 6
+    )
+    out["parity_loss_relerr_nerf_stream_s512"] = round(
+        float(abs(np.asarray(l_s) - np.asarray(l_sx)) / (abs(float(l_sx)) + 1e-30)), 6
     )
     cos, rel = _cos_and_rel(g_sx, g_p)
     out["parity_grad_cos_nerf_partials_s512"] = round(cos, 6)
@@ -312,6 +322,7 @@ def _compiled_parity_gates(settings, cfg, ncfg):
     out["parity_ok"] = bool(
         out["parity_render_p999_err_tinynerf"] < 3e-2
         and out["parity_render_mean_err_tinynerf"] < 1e-3
+        and out["parity_render_flip_frac_tinynerf"] < 2.5e-3
         and out["parity_grad_cos_tinynerf"] > 0.98
         and out["parity_grad_cos_nerf"] > 0.98
         and out["parity_grad_cos_nerf_stream_s512"] > 0.98

@@ -64,6 +64,15 @@ DEFAULT_TILE_R = 128
 DEFAULT_SAMPLE_BLOCK = 128
 
 
+def pick_sample_block(S: int, cap: int = DEFAULT_SAMPLE_BLOCK) -> int:
+    """Largest divisor of S that is <= cap — the streamed kernels
+    require sample_block | S (e.g. S=192 -> 96, S=448 -> 112)."""
+    for b in range(min(cap, S), 0, -1):
+        if S % b == 0:
+            return b
+    return S
+
+
 def _streamed_kernel(
     o_ref,  # (3, R) ray origins (transposed)
     d_ref,  # (3, R) ray directions

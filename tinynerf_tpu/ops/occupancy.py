@@ -58,13 +58,8 @@ def default_aabb(half_extent: float = DEFAULT_HALF_EXTENT) -> jnp.ndarray:
     )
 
 
-def pick_sample_block(S: int, cap: int = 128) -> int:
-    """Largest divisor of S that is <= cap — the streamed kernels
-    require sample_block | S (e.g. S=192 -> 96, S=448 -> 112)."""
-    for b in range(min(cap, S), 0, -1):
-        if S % b == 0:
-            return b
-    return S
+# Re-exported for callers that import it alongside the sampler.
+from tinynerf_tpu.kernels.fused_nerf_stream import pick_sample_block  # noqa: E402,F401
 
 
 def density_grid(
@@ -318,9 +313,13 @@ def make_occupancy_train_block(
     def block(params, opt_state, key, step0, rays_o_all, rays_d_all, pixels):
         # Identical on every data peer: the grid key ignores the data
         # index (replicated params -> replicated grid, no collective).
+        # Grid-jitter key: the tag folds FIRST and sits far outside any
+        # plausible step/device-index range, so the stream can never
+        # collide with draw_ray_batch's fold_in(fold_in(key, idx), step)
+        # chains (a small trailing tag would equal some step value).
         grid = density_grid(
             params["fine"], cfg, resolution=resolution, aabb=aabb,
-            key=jax.random.fold_in(jax.random.fold_in(key, step0), 0x0CC),
+            key=jax.random.fold_in(jax.random.fold_in(key, 0x0CC00000), step0),
         )
         grid = jax.lax.stop_gradient(grid)
         if mesh is not None:

@@ -172,11 +172,19 @@ def _sharded_nerf_loss(
         if fused_kernels:
             # Pallas block-partials kernel: same {T,C,D,A} (+ local w)
             # summaries, fused encode->MLP->composite in VMEM.
+            # sample_block: largest divisor of the shard <= 128 (the
+            # kernel streams any block size; sublane slices want
+            # divisibility, e.g. shard 160 -> block 80). tile_r stays a
+            # power-of-two lane tile: unaligned lane offsets are a
+            # Mosaic constraint, so local_rand must be a multiple of
+            # min(128, local_rand) — the kernel raises loudly if not.
+            from tinynerf_tpu.kernels.fused_nerf_stream import pick_sample_block
+
             partials, w_local = make_fused_block_partials_fn(
                 cfg,
                 emit_weights=need_weights,
                 tile_r=min(128, local_rand),
-                sample_block=min(128, sb),
+                sample_block=pick_sample_block(sb),
             )(
                 mlp_params,
                 ro,
