@@ -247,6 +247,38 @@ def test_fused_sp_2d_mesh_learns():
     assert losses[-1] < losses[0], losses
 
 
+def test_fused_sp_non_pow2_shard_trains():
+    """Shard sizes that are not multiples of 128 (e.g. fine union 320
+    over 2 sample peers -> 160) must train fused: the block size is the
+    largest divisor of the shard (pick_sample_block), not min(128, sb)
+    — the round-3 review regression."""
+    from tinynerf_tpu.models.nerf import init_nerf
+    from tinynerf_tpu.parallel.mesh import make_mesh
+    from tinynerf_tpu.parallel.train import make_sharded_train_block
+    from tinynerf_tpu.training import TrainSettings, init_train_state
+
+    s = TrainSettings(n_rand=16, n_samples=64, num_freqs=4, lr=5e-4)
+    rng = np.random.RandomState(2)
+    n_images, hw = 2, 32
+    ro = jnp.asarray(rng.randn(n_images, hw, 3).astype(np.float32) * 0.1)
+    rd = rng.randn(n_images, hw, 3).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    data = (ro, jnp.asarray(rd),
+            jnp.asarray(rng.rand(n_images, hw, 3).astype(np.float32)))
+
+    mesh = make_mesh(n_devices=2, sample_parallel=2)
+    block = make_sharded_train_block(
+        s, 2, mesh, nerf_cfg=TINY, n_fine=256, fused_kernels=True
+    )
+    params, opt_state = init_train_state(
+        jax.random.PRNGKey(0), s, init_fn=lambda k: init_nerf(k, TINY)
+    )
+    params, opt_state, m = block(
+        params, opt_state, jax.random.PRNGKey(1), jnp.int32(0), *data
+    )
+    assert np.isfinite(np.asarray(m["loss"])).all()
+
+
 def test_fused_kernels_without_nerf_cfg_rejected():
     from tinynerf_tpu.parallel.mesh import make_mesh
     from tinynerf_tpu.parallel.train import make_sharded_train_block
