@@ -237,3 +237,40 @@ def test_occupancy_driver_end_to_end(tmp_path):
         train.main(
             __import__("dataclasses").replace(cfg, model="tinynerf")
         )
+
+
+def test_occupancy_ndc_end_to_end(tmp_path):
+    """--proposal occupancy --ndc: the grid covers the NDC cube
+    ([-1,1]^3) and sampling runs over t in [0,1]; trains finite and the
+    checkpoint meta reconstructs the NDC+occupancy renderer."""
+    import dataclasses
+
+    from tinynerf_tpu import train
+    from tinynerf_tpu.config import Config
+    from tinynerf_tpu.synthetic import generate_synthetic_dataset
+
+    d = generate_synthetic_dataset(
+        n_poses=4, h=24, w=24, seed=7, forward_facing=True
+    )
+    data = str(tmp_path / "ff.npz")
+    np.savez(data, images=d["images"], poses=d["poses"], focal=d["focal"])
+    cfg = Config(
+        data_path=data, iters=20, n_rand=64, n_samples=8, n_fine=8,
+        num_freqs=4, num_freqs_dir=2, hidden=16, nerf_depth=2,
+        nerf_skip_at=1, rgb_hidden=8, model="nerf", proposal="occupancy",
+        ndc=True, log_every=10, preview_every=20, ckpt_every=20, chunk=128,
+        ckpt_path=str(tmp_path / "occ_ndc.npz"),
+        out_dir=str(tmp_path / "out"), resume=False, bf16=False,
+    )
+    res = train.main(cfg)
+    assert np.isfinite(res["final_psnr"])
+
+    from tinynerf_tpu.utils.model_io import load_model_and_renderer
+
+    params, renderer, meta = load_model_and_renderer(
+        cfg.ckpt_path, H=24, W=24, focal=float(d["focal"]), n_samples=8,
+        n_fine=8, chunk=128,
+    )
+    assert meta["cfg"]["proposal"] == "occupancy"
+    img = renderer(params, jnp.asarray(d["poses"][0]))
+    assert np.isfinite(np.asarray(img)).all()
