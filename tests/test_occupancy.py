@@ -107,6 +107,19 @@ def test_outside_aabb_reads_empty():
     np.testing.assert_allclose(np.asarray(a), 0.0, atol=0)
 
 
+def test_aabb_from_rays_covers_all_sample_points():
+    from tinynerf_tpu.ops.occupancy import aabb_from_rays
+
+    ro, rd = _rays(R=64, seed=6)
+    aabb = aabb_from_rays(ro, rd, 2.0, 6.0)
+    for t in (2.0, 3.7, 6.0):
+        pts = ro + rd * t
+        assert bool(jnp.all(pts >= aabb[0])) and bool(jnp.all(pts <= aabb[1]))
+    # scale-adaptivity: 10x bigger rig -> ~10x bigger box
+    big = aabb_from_rays(ro * 10, rd, 20.0, 60.0)
+    assert float(big[1][0] - big[0][0]) > 5 * float(aabb[1][0] - aabb[0][0])
+
+
 def test_pick_sample_block():
     assert pick_sample_block(192) == 96
     assert pick_sample_block(448) == 112
@@ -232,6 +245,15 @@ def test_occupancy_driver_end_to_end(tmp_path):
     )
     make_gif.main(gif_cfg)
     assert (tmp_path / "nv.gif").exists()
+
+    # The grid bounds persist in meta (render consumers rebuild the
+    # identical sampler).
+    import json
+
+    with np.load(str(tmp_path / "occ.npz"), allow_pickle=False) as z:
+        meta = json.loads(str(z["meta"]))["meta"]
+    box = np.asarray(meta["cfg"]["occ_aabb"])
+    assert box.shape == (2, 3) and (box[1] > box[0]).all()
 
     with pytest.raises(ValueError, match="occupancy"):
         train.main(

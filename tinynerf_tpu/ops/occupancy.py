@@ -62,6 +62,23 @@ def default_aabb(half_extent: float = DEFAULT_HALF_EXTENT) -> jnp.ndarray:
 from tinynerf_tpu.kernels.fused_nerf_stream import pick_sample_block  # noqa: E402,F401
 
 
+def aabb_from_rays(rays_o, rays_d, near: float, far: float,
+                   margin: float = 0.05) -> jnp.ndarray:
+    """(2, 3) AABB covering every sample point any ray can produce —
+    the union of the [near, far] segment endpoints over all rays, with
+    a small relative margin. Derived from the actual capture, so the
+    grid adapts to scene scale instead of assuming the reference's
+    radius-4 rig (DEFAULT_HALF_EXTENT). Deterministic given the data:
+    training and render consumers recompute the identical box, and the
+    driver persists it in checkpoint meta as the source of truth."""
+    o = jnp.reshape(rays_o, (-1, 3)).astype(jnp.float32)
+    d = jnp.reshape(rays_d, (-1, 3)).astype(jnp.float32)
+    pts = jnp.concatenate([o + d * near, o + d * far], axis=0)
+    lo, hi = jnp.min(pts, axis=0), jnp.max(pts, axis=0)
+    pad = margin * (hi - lo)
+    return jnp.stack([lo - pad, hi + pad], axis=0)
+
+
 def density_grid(
     mlp_params,
     cfg: NeRFConfig,

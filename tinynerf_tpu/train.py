@@ -189,11 +189,17 @@ def main(cfg: Config) -> dict:
         occ_settings = dataclasses.replace(
             settings, n_samples=cfg.n_samples + cfg.n_fine
         )
-        occ_aabb = None
         if cfg.ndc:
             from tinynerf_tpu.ops.occupancy import default_aabb
 
             occ_aabb = default_aabb(1.0)  # the NDC cube
+        else:
+            # Derive the grid bounds from the actual capture (covers
+            # every reachable sample point) instead of assuming the
+            # reference rig's scale; persisted in ckpt meta below.
+            from tinynerf_tpu.ops.occupancy import aabb_from_rays
+
+            occ_aabb = aabb_from_rays(rays_o_all, rays_d_all, cfg.near, cfg.far)
         occ_mesh = None
         if cfg.data_parallel and jax.device_count() > 1:
             from tinynerf_tpu.parallel.mesh import make_mesh
@@ -304,6 +310,13 @@ def main(cfg: Config) -> dict:
                     "n_fine": cfg.n_fine,
                     "ndc": cfg.ndc,
                     "proposal": cfg.proposal,
+                    # Grid bounds (occupancy only): render consumers
+                    # must rebuild the sampler over the SAME box.
+                    **(
+                        {"occ_aabb": np.asarray(occ_aabb).tolist()}
+                        if occupancy
+                        else {}
+                    ),
                 },
             },
         )

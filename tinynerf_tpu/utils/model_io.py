@@ -66,16 +66,23 @@ def load_model_and_renderer(
             # Grid-proposal checkpoints hold a single MLP; the sampler
             # (the density grid) is recomputed from those params inside
             # the renderer — nothing else to restore.
+            import jax.numpy as jnp
+
             from tinynerf_tpu.render import make_occupancy_image_renderer
             from tinynerf_tpu.ops.occupancy import default_aabb
 
+            if mcfg.get("occ_aabb") is not None:
+                # Training persisted its grid bounds — the sampler must
+                # be rebuilt over the SAME box.
+                aabb = jnp.asarray(mcfg["occ_aabb"], jnp.float32)
+            else:
+                aabb = default_aabb(1.0) if ndc else None
             params_t = {"fine": init_nerf_mlp(jax.random.PRNGKey(0), ncfg)}
             renderer = make_occupancy_image_renderer(
                 H=H, W=W, focal=focal, chunk=min(chunk, 4096),
                 n_samples=n_samples + (n_fine or mcfg.get("n_fine", 64)),
                 near=near, far=far, nerf_cfg=ncfg, use_fused=fused,
-                frames=frames, ndc=ndc,
-                aabb=default_aabb(1.0) if ndc else None,
+                frames=frames, ndc=ndc, aabb=aabb,
             )
         else:
             params_t = init_nerf(jax.random.PRNGKey(0), ncfg)
