@@ -137,7 +137,8 @@ def _measure_nerf_render_scan(params, rays_o, rays_d, ncfg, n_fine=128, n_iters=
     return R * n_iters / best_dt
 
 
-def _compiled_parity_gates(settings, cfg, ncfg):
+def _compiled_parity_gates(settings, cfg, ncfg, R=8192, Rg=2048, S=512,
+                           sample_block=128):
     """Compiled-on-TPU numeric parity: fused kernels vs the XLA paths.
 
     The CPU suite runs every Pallas kernel in interpret mode only
@@ -146,6 +147,13 @@ def _compiled_parity_gates(settings, cfg, ncfg):
     quality drop. These run the SAME parity checks compiled on the real
     chip and gate the round's bench artifact (VERDICT r2 weak #5).
     Returns a dict of extras including parity_ok.
+
+    R/Rg/S/sample_block: render batch, gradient batch, streamed sample
+    count, streaming block — production sizes by default; small values
+    let tests/test_bench_gates.py run this very function on the CPU
+    backend (kernels auto-interpret), so gate-harness bugs (donated
+    buffers, 0/0 metrics, threshold conditioning) surface in CI instead
+    of on the first on-chip bench run.
     """
     import jax.numpy as jnp
 
@@ -157,7 +165,6 @@ def _compiled_parity_gates(settings, cfg, ncfg):
     from tinynerf_tpu.render import render_rays
     from tinynerf_tpu.training import loss_fn
 
-    R = 8192
     key = jax.random.PRNGKey(7)
     ro = jax.random.normal(key, (R, 3)) * 0.1
     rd = jax.random.normal(jax.random.fold_in(key, 1), (R, 3))
@@ -210,10 +217,10 @@ def _compiled_parity_gates(settings, cfg, ncfg):
 
     # --- TinyNeRF: fused train grads vs jax.grad (deterministic) ---
     fused_g = make_fused_grad_fn(settings, randomized=False)
-    g_f, _ = jax.jit(lambda p: fused_g(p, ro[:2048], rd[:2048], tgt[:2048],
+    g_f, _ = jax.jit(lambda p: fused_g(p, ro[:Rg], rd[:Rg], tgt[:Rg],
                                        jax.random.PRNGKey(0)))(params)
     import dataclasses as _dc
-    det = _dc.replace(settings, n_rand=2048)
+    det = _dc.replace(settings, n_rand=Rg)
 
     def xla_loss(p):
         # loss_fn always jitters; rebuild its deterministic twin.
@@ -223,13 +230,13 @@ def _compiled_parity_gates(settings, cfg, ncfg):
         from tinynerf_tpu.models.tinynerf import apply_tinynerf
 
         z, pts = stratified_samples(det.near, det.far, det.n_samples,
-                                    ro[:2048], rd[:2048], randomized=False)
+                                    ro[:Rg], rd[:Rg], randomized=False)
         x = positional_encoding(pts.reshape(-1, 3), num_freqs=det.num_freqs)
         rgb, sig = apply_tinynerf(p, x, det.model_cfg)
         comp, _, _, _ = volume_render(
-            rgb.reshape(2048, det.n_samples, 3), sig.reshape(2048, det.n_samples),
-            z, rd[:2048], white_bkgd=det.white_bkgd)
-        return jnp.mean((comp - tgt[:2048]) ** 2)
+            rgb.reshape(Rg, det.n_samples, 3), sig.reshape(Rg, det.n_samples),
+            z, rd[:Rg], white_bkgd=det.white_bkgd)
+        return jnp.mean((comp - tgt[:Rg]) ** 2)
 
     g_x = jax.jit(jax.grad(xla_loss))(params)
     cos, rel = _cos_and_rel(g_x, g_f)
@@ -239,14 +246,14 @@ def _compiled_parity_gates(settings, cfg, ncfg):
     # --- NeRF hierarchical: fused grad_fn vs jax.grad (deterministic) ---
     nparams = init_nerf(jax.random.PRNGKey(1), ncfg)
     nfused = make_fused_nerf_grad_fn(settings, ncfg, n_fine=128, randomized=False)
-    gn_f, _ = jax.jit(lambda p: nfused(p, ro[:2048], rd[:2048], tgt[:2048],
+    gn_f, _ = jax.jit(lambda p: nfused(p, ro[:Rg], rd[:Rg], tgt[:Rg],
                                        jax.random.PRNGKey(0)))(nparams)
 
     def nerf_loss(p):
         comp_c, comp_f = render_rays_hierarchical(
-            p, ro[:2048], rd[:2048], n_coarse=64, n_fine=128,
+            p, ro[:Rg], rd[:Rg], n_coarse=64, n_fine=128,
             cfg=ncfg, randomized=False)
-        t = tgt[:2048]
+        t = tgt[:Rg]
         return jnp.mean((comp_c - t) ** 2) + jnp.mean((comp_f - t) ** 2)
 
     gn_x = jax.jit(jax.grad(nerf_loss))(nparams)
@@ -259,27 +266,27 @@ def _compiled_parity_gates(settings, cfg, ncfg):
     # flagship pool-mode recipe's noise input path (the rematerialized
     # backward must read the same buffer as the forward).
     z = jnp.sort(jax.random.uniform(jax.random.fold_in(key, 3),
-                                    (2048, 512), minval=2.0, maxval=6.0), axis=1)
-    noise = jax.random.normal(jax.random.fold_in(key, 4), (2048, 512))
+                                    (Rg, S), minval=2.0, maxval=6.0), axis=1)
+    noise = jax.random.normal(jax.random.fold_in(key, 4), (Rg, S))
     l_s, g_s = jax.jit(lambda p: fused_nerf_pass_grads_streamed(
-        p["fine"], ro[:2048], rd[:2048], tgt[:2048], z, cfg=ncfg,
-        sigma_noise=noise, sample_block=128))(nparams)
+        p["fine"], ro[:Rg], rd[:Rg], tgt[:Rg], z, cfg=ncfg,
+        sigma_noise=noise, sample_block=sample_block))(nparams)
 
     def fine_xla(p):
         from tinynerf_tpu.models.nerf import apply_nerf_mlp
         from tinynerf_tpu.ops.encoding import positional_encoding
         from tinynerf_tpu.ops.volume import volume_render
 
-        pts = ro[:2048, None, :] + rd[:2048, None, :] * z[..., None]
+        pts = ro[:Rg, None, :] + rd[:Rg, None, :] * z[..., None]
         x = positional_encoding(pts.reshape(-1, 3), num_freqs=ncfg.num_freqs)
-        vd = rd[:2048] / jnp.linalg.norm(rd[:2048], axis=-1, keepdims=True)
+        vd = rd[:Rg] / jnp.linalg.norm(rd[:Rg], axis=-1, keepdims=True)
         de = jnp.repeat(positional_encoding(vd, num_freqs=ncfg.num_freqs_dir),
-                        512, axis=0)
+                        S, axis=0)
         rgb, sig = apply_nerf_mlp(p, x, de, ncfg,
                                   sigma_noise=noise.reshape(-1, 1))
-        comp, _, _, _ = volume_render(rgb.reshape(2048, 512, 3),
-                                      sig.reshape(2048, 512), z, rd[:2048])
-        return jnp.mean((comp - tgt[:2048]) ** 2)
+        comp, _, _, _ = volume_render(rgb.reshape(Rg, S, 3),
+                                      sig.reshape(Rg, S), z, rd[:Rg])
+        return jnp.mean((comp - tgt[:Rg]) ** 2)
 
     l_sx, g_sx = jax.jit(jax.value_and_grad(fine_xla))(nparams["fine"])
     cos, rel = _cos_and_rel(g_sx, g_s)
@@ -294,14 +301,14 @@ def _compiled_parity_gates(settings, cfg, ncfg):
     from tinynerf_tpu.kernels.fused_partials import make_fused_block_partials_fn
     from tinynerf_tpu.ops.volume import combine_block_partials, global_deltas
 
-    fn_p = make_fused_block_partials_fn(ncfg, emit_weights=False, sample_block=128)
-    deltas_p = global_deltas(z, rd[:2048])
+    fn_p = make_fused_block_partials_fn(ncfg, emit_weights=False, sample_block=sample_block)
+    deltas_p = global_deltas(z, rd[:Rg])
 
     def partials_loss(p):
-        parts, _ = fn_p(p, ro[:2048], rd[:2048], z, deltas_p, noise)
+        parts, _ = fn_p(p, ro[:Rg], rd[:Rg], z, deltas_p, noise)
         stacked = jax.tree_util.tree_map(lambda x: x[None], parts)
         comp, _, _ = combine_block_partials(stacked, white_bkgd=True)
-        return jnp.mean((comp - tgt[:2048]) ** 2)
+        return jnp.mean((comp - tgt[:Rg]) ** 2)
 
     l_p, g_p = jax.jit(jax.value_and_grad(partials_loss))(nparams["fine"])
     # Loss compared against the XLA oracle (NOT the sibling kernel — a

@@ -1,0 +1,49 @@
+"""bench.py's compiled parity-gate harness, exercised on the CPU
+backend (kernels auto-interpret) at small sizes — so gate-harness bugs
+(donated buffers, 0/0 cosine metrics, threshold conditioning) surface
+in CI rather than on the first on-chip bench run of a round (which is
+exactly how two of them were found in round 3)."""
+
+import sys
+
+import numpy as np
+
+
+def test_compiled_parity_gates_cpu_smoke():
+    sys.path.insert(0, ".")
+    from bench import _compiled_parity_gates
+    from tinynerf_tpu.config import Config
+    from tinynerf_tpu.models.nerf import NeRFConfig
+
+    import jax.numpy as jnp
+
+    # f32 compute: the CPU backend has no bf16 dot kernels (the gates
+    # run bf16 on the real chip).
+    cfg = Config(n_rand=128, bf16=False)
+    settings = cfg.train_settings()
+    ncfg = NeRFConfig(compute_dtype=jnp.float32)
+    out = _compiled_parity_gates(
+        settings, cfg, ncfg, R=256, Rg=128, S=32, sample_block=16
+    )
+
+    for k in (
+        "parity_render_max_err_tinynerf",
+        "parity_render_p999_err_tinynerf",
+        "parity_render_mean_err_tinynerf",
+        "parity_render_flip_frac_tinynerf",
+        "parity_grad_cos_tinynerf",
+        "parity_grad_cos_nerf",
+        "parity_grad_cos_nerf_stream_s512",
+        "parity_grad_cos_nerf_partials_s512",
+        "parity_loss_relerr_nerf_partials_s512",
+        "parity_loss_relerr_nerf_stream_s512",
+        "parity_ok",
+    ):
+        assert k in out, k
+        if k != "parity_ok":
+            assert np.isfinite(out[k]), (k, out[k])
+
+    # On one backend (both sides interpret/XLA with identical math) the
+    # gates must pass comfortably — a failure here is a harness bug or
+    # a genuine kernel-semantics drift, both of which CI should catch.
+    assert out["parity_ok"] is True, out
