@@ -53,6 +53,37 @@ def test_single_process_detection():
     assert initialize_distributed() is False
 
 
+def test_no_cluster_valueerror_returns_false(monkeypatch):
+    """The known 'no cluster detected' ValueError (mentions
+    coordinator_address) means a plain single-process run -> False."""
+    import jax
+
+    def fake_init(**kwargs):
+        raise ValueError(
+            "Please specify coordinator_address, num_processes and "
+            "process_id, or ensure these are inferable from the environment."
+        )
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+    assert initialize_distributed() is False
+
+
+def test_reworded_valueerror_raises_with_note(monkeypatch):
+    """A ValueError that does NOT match the validated jax message must
+    propagate (never silently fall back to single-process), carrying a
+    note pointing at the heuristic (ADVICE r3)."""
+    import jax
+
+    def fake_init(**kwargs):
+        raise ValueError("some future jax rewording of the bootstrap error")
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+    with pytest.raises(ValueError) as ei:
+        initialize_distributed()
+    notes = getattr(ei.value, "__notes__", [])
+    assert any("parallel/mesh.py" in n for n in notes), notes
+
+
 @pytest.mark.slow
 def test_two_process_cpu_psum():
     addr = f"127.0.0.1:{_free_port()}"

@@ -11,6 +11,7 @@ from __future__ import annotations
 import json
 import os
 from dataclasses import dataclass
+from typing import Optional
 
 
 import jax.numpy as jnp
@@ -31,7 +32,9 @@ class EvalConfig:
     views: int = 8  # number of evenly spaced views (0 = all)
     first_view: int = 0  # start index (e.g. N-holdout for held-out eval)
     n_samples: int = 64
-    n_fine: int = 0  # >0: override the checkpoint's fine-sample count
+    # None = the checkpoint's fine-sample count; an int (incl. 0)
+    # overrides it (0 = coarse/grid budget only).
+    n_fine: Optional[int] = None
     near: float = 2.0
     far: float = 6.0
     chunk: int = 8192

@@ -66,9 +66,23 @@ DEFAULT_SAMPLE_BLOCK = 128
 
 def pick_sample_block(S: int, cap: int = DEFAULT_SAMPLE_BLOCK) -> int:
     """Largest divisor of S that is <= cap — the streamed kernels
-    require sample_block | S (e.g. S=192 -> 96, S=448 -> 112)."""
+    require sample_block | S (e.g. S=192 -> 96, S=448 -> 112).
+
+    A pathological S (e.g. prime, from an arbitrary eval --n-fine)
+    only has tiny divisors, making the kernel run S/b inner blocks —
+    functionally correct but far off the speed-of-light block size, so
+    warn instead of silently degrading (ADVICE r3)."""
     for b in range(min(cap, S), 0, -1):
         if S % b == 0:
+            if b < 8 and S > 8:
+                import warnings
+
+                warnings.warn(
+                    f"pick_sample_block: S={S} has no divisor in [8, {cap}];"
+                    f" streaming in blocks of {b} ({S // b} inner blocks) will"
+                    " be slow — prefer a composite sample count (e.g. a"
+                    " multiple of 64)"
+                )
             return b
     return S
 

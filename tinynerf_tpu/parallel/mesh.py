@@ -108,8 +108,22 @@ def initialize_distributed(
     except ValueError as e:
         # jax's signal for "auto-detection found no cluster at all";
         # anything else is a real bootstrap failure and must surface.
+        # The substring heuristic was validated against jax 0.9.x's
+        # message ("Please specify coordinator_address, ..."); if a
+        # future jax rewords it, the added note below makes the crash
+        # self-explanatory instead of mysteriously breaking plain
+        # single-process runs (ADVICE r3).
         if "coordinator_address" in str(e):
             return False
+        e.add_note(
+            "tinynerf_tpu.initialize_distributed: this ValueError from "
+            "jax.distributed.initialize() did not match the known "
+            "'no cluster detected' message (validated on jax 0.9.x). "
+            "If this is a plain single-process run, jax likely reworded "
+            "the auto-detection error — update the heuristic in "
+            "parallel/mesh.py; if you expected a cluster, the bootstrap "
+            "genuinely failed (see the original error above)."
+        )
         raise
     except RuntimeError as e:
         if "backend" not in str(e):

@@ -128,13 +128,52 @@ def main(cfg: Config) -> dict:
         print("[ndc] rays reprojected to NDC space (sampling t in [0,1])")
     pixels = images.reshape(n_images, H * W, 3)
 
-    # Hold out trailing poses for novel-view evaluation (never trained).
+    # Occupancy AABB must bound EVERY pose's reachable sample points,
+    # including held-out eval poses (the grid only bounds the sampler;
+    # a slightly larger box is harmless, a too-small one silently
+    # floor-samples exactly the novel-view eval poses) — so keep the
+    # full pre-holdout ray set for the AABB derivation below.
+    rays_o_full, rays_d_full = rays_o_all, rays_d_all
+
+    # Hold out poses for novel-view evaluation (never trained).
     n_train = n_images - cfg.holdout
+    if cfg.holdout_mode not in ("tail", "strided"):
+        raise ValueError(
+            f"holdout_mode={cfg.holdout_mode!r} (expected 'tail'|'strided')"
+        )
     if cfg.holdout > 0:
+        if cfg.holdout_mode == "strided":
+            # Pose-diverse holdout: evenly spread over the capture's
+            # pose sequence, then REORDER so held-out poses sit at the
+            # tail — everything downstream (train slices, preview
+            # indices, final held-out eval over [n_train, n_images))
+            # keeps its tail-holdout shape (VERDICT r3 item 2).
+            hold = np.round(np.linspace(0, n_images - 1, cfg.holdout)).astype(int)
+            hold = np.unique(hold)
+            if len(hold) != cfg.holdout:
+                raise ValueError(
+                    f"strided holdout of {cfg.holdout} from {n_images} poses "
+                    "collapses duplicate indices — lower --holdout"
+                )
+            hold_set = set(hold.tolist())
+            order = np.asarray(
+                [i for i in range(n_images) if i not in hold_set] + hold.tolist()
+            )
+            images = images[order]
+            poses = poses[order]
+            rays_o_all = rays_o_all[order]
+            rays_d_all = rays_d_all[order]
+            pixels = pixels[order]
+            print(f"[eval] strided holdout: original poses {hold.tolist()}")
         rays_o_all = rays_o_all[:n_train]
         rays_d_all = rays_d_all[:n_train]
         pixels = pixels[:n_train]
         print(f"[eval] holding out poses {n_train}..{n_images - 1}")
+    if cfg.eval_every > 0 and cfg.holdout <= 0:
+        raise ValueError(
+            "--eval-every > 0 requires --holdout > 0 (nothing held out "
+            "to evaluate; it would silently score training views)"
+        )
 
     # Parallelism flag validation: misconfigurations must fail loud,
     # never silently train a different layout than the one requested.
@@ -199,7 +238,7 @@ def main(cfg: Config) -> dict:
             # reference rig's scale; persisted in ckpt meta below.
             from tinynerf_tpu.ops.occupancy import aabb_from_rays
 
-            occ_aabb = aabb_from_rays(rays_o_all, rays_d_all, cfg.near, cfg.far)
+            occ_aabb = aabb_from_rays(rays_o_full, rays_d_full, cfg.near, cfg.far)
         occ_mesh = None
         if cfg.data_parallel and jax.device_count() > 1:
             from tinynerf_tpu.parallel.mesh import make_mesh
@@ -333,7 +372,8 @@ def main(cfg: Config) -> dict:
         last = {}
         t0 = time.time()
         for block_start, block_len in _boundaries(
-            start_step, cfg.iters, cfg.log_every, cfg.preview_every, cfg.ckpt_every
+            start_step, cfg.iters, cfg.log_every, cfg.preview_every,
+            cfg.ckpt_every, cfg.eval_every,
         ):
             if block_len not in blocks:
                 blocks[block_len] = train_block_factory(block_len)
@@ -357,6 +397,30 @@ def main(cfg: Config) -> dict:
                 pbar.set_postfix(**last)
                 if metrics_f:
                     metrics_f.write(json.dumps({"step": step_end, **last}) + "\n")
+                    metrics_f.flush()
+
+            if cfg.eval_every > 0 and (
+                step_end % cfg.eval_every == 0 or step_end == cfg.iters
+            ):
+                # Held-out learning curve: score the never-trained poses
+                # mid-schedule so train/held-out divergence is a logged
+                # CURVE, not a single end-of-run surprise (VERDICT r3
+                # item 2 — the 40k flagship's 4.5 dB gap was invisible
+                # until the final eval).
+                from tinynerf_tpu.evaluation import evaluate_views
+
+                ev = evaluate_views(
+                    renderer, params, images, poses,
+                    list(range(n_train, n_images)),
+                )
+                pbar.set_postfix(**last, ho=round(ev["psnr_mean"], 2))
+                if metrics_f:
+                    metrics_f.write(
+                        json.dumps(
+                            {"step": step_end, "eval": ev, "kind": "held-out"}
+                        )
+                        + "\n"
+                    )
                     metrics_f.flush()
 
             if step_end % cfg.preview_every == 0:

@@ -27,14 +27,17 @@ def load_model_and_renderer(
     chunk: int = 8192,
     fused: bool = False,
     frames: bool = False,
-    n_fine: int = 0,
+    n_fine: "int | None" = None,
 ):
     """-> (params, renderer, meta) with renderer: (params, pose) -> image
     (or, with frames=True, (params, poses (F,4,4)) -> (F,H,W,3)).
 
-    n_fine > 0 overrides the checkpoint's stored fine-sample count for
-    the hierarchical model — rendering can spend MORE quadrature than
-    training did (the streamed kernels make large unions cheap)."""
+    n_fine (None = use the checkpoint's stored fine-sample count)
+    overrides the fine-sample budget for the hierarchical model —
+    rendering can spend MORE quadrature than training did (the streamed
+    kernels make large unions cheap). An explicit 0 means zero fine
+    samples (coarse/grid-proposal budget only), which a falsy check
+    could not express (ADVICE r3)."""
     from tinynerf_tpu.models.tinynerf import TinyNeRFConfig
     from tinynerf_tpu.ops.encoding import encoding_dim
     from tinynerf_tpu.render import make_hierarchical_image_renderer, make_image_renderer
@@ -80,7 +83,8 @@ def load_model_and_renderer(
             params_t = {"fine": init_nerf_mlp(jax.random.PRNGKey(0), ncfg)}
             renderer = make_occupancy_image_renderer(
                 H=H, W=W, focal=focal, chunk=min(chunk, 4096),
-                n_samples=n_samples + (n_fine or mcfg.get("n_fine", 64)),
+                n_samples=n_samples
+                + (n_fine if n_fine is not None else mcfg.get("n_fine", 64)),
                 near=near, far=far, nerf_cfg=ncfg, use_fused=fused,
                 frames=frames, ndc=ndc, aabb=aabb,
             )
@@ -88,7 +92,8 @@ def load_model_and_renderer(
             params_t = init_nerf(jax.random.PRNGKey(0), ncfg)
             renderer = make_hierarchical_image_renderer(
                 H=H, W=W, focal=focal, chunk=min(chunk, 4096),
-                n_coarse=n_samples, n_fine=n_fine or mcfg.get("n_fine", 64),
+                n_coarse=n_samples,
+                n_fine=n_fine if n_fine is not None else mcfg.get("n_fine", 64),
                 near=near, far=far, nerf_cfg=ncfg, use_fused=fused,
                 frames=frames, ndc=ndc,
             )
