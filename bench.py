@@ -21,6 +21,77 @@ import numpy as np
 
 BASELINE_CACHE = "benchmarks/baseline_measured.json"
 
+# v5e bf16 peak (dense matmul) — the MFU denominator everywhere.
+PEAK_FLOPS = 197e12
+
+
+def _probe_backend(retries: int = 3, wait_s: float = 30.0,
+                   attempt_timeout_s: float = 420.0):
+    """Backend init with retries (VERDICT r3 weak #1: the axon tunnel
+    died mid-bench and the round shipped rc:1, zero evidence). Returns
+    the device list, or raises the LAST error after all retries.
+
+    A dead tunnel manifests BOTH ways — a RuntimeError traceback
+    (round 3's artifact) and an indefinite HANG inside backend init
+    (measured round 4) — so each attempt runs in a daemon thread with a
+    timeout. A hung attempt's thread is abandoned (it holds no device
+    grant; backend init never completed)."""
+    import threading
+
+    last: Exception = RuntimeError("unreachable")
+    for attempt in range(retries):
+        box = {}
+
+        def probe():
+            try:
+                box["devices"] = jax.devices()
+            except Exception as e:  # noqa: BLE001
+                box["error"] = e
+
+        t = threading.Thread(target=probe, daemon=True)
+        t.start()
+        t.join(attempt_timeout_s)
+        if "devices" in box:
+            return box["devices"]
+        last = box.get(
+            "error",
+            TimeoutError(
+                f"backend init hung > {attempt_timeout_s:.0f}s (tunnel down?)"
+            ),
+        )
+        if attempt + 1 < retries:
+            print(
+                f"[bench] backend init failed (attempt {attempt + 1}/"
+                f"{retries}): {last}; retrying in {wait_s:.0f}s",
+                flush=True,
+            )
+            time.sleep(wait_s)
+    raise last
+
+
+class _Sections:
+    """Per-section failure isolation: a dead tunnel mid-run (or one
+    kernel that won't compile) degrades the artifact instead of
+    destroying it. Each section records ok/error; any error flips
+    degraded=True, but the bench still emits its JSON line with rc 0."""
+
+    def __init__(self):
+        self.status: dict[str, str] = {}
+        self.degraded = False
+
+    def run(self, name: str, fn, *args, **kwargs):
+        try:
+            out = fn(*args, **kwargs)
+            self.status[name] = "ok"
+            return out
+        except Exception as e:  # noqa: BLE001 — record and continue
+            import traceback
+
+            traceback.print_exc()
+            self.status[name] = f"error: {type(e).__name__}: {e}"[:300]
+            self.degraded = True
+            return None
+
 
 def _sync(x):
     """Force device->host completion (block_until_ready alone does not
@@ -355,6 +426,39 @@ def _torch_cpu_baseline() -> float:
 
 
 def main() -> None:
+    secs = _Sections()
+
+    def emit(value, vs_baseline, extras):
+        extras["sections"] = secs.status
+        extras["degraded"] = secs.degraded
+        print(
+            json.dumps(
+                {
+                    "metric": "train_rays_per_sec_per_chip",
+                    "value": value,
+                    "unit": "rays/s",
+                    "vs_baseline": vs_baseline,
+                    "extras": extras,
+                }
+            )
+        )
+
+    from tinynerf_tpu.utils.platform import honor_platform_env
+
+    honor_platform_env()
+
+    # Backend init is the one section whose failure previously killed
+    # the whole artifact (BENCH_r03.json rc:1 during the tunnel outage).
+    # Retry it; on final failure emit a degraded-but-valid artifact.
+    try:
+        devices = _probe_backend()
+    except Exception as e:  # noqa: BLE001
+        secs.status["backend_init"] = f"error: {type(e).__name__}: {e}"[:300]
+        secs.degraded = True
+        emit(None, None, {"error": "backend init failed after retries"})
+        return
+    secs.status["backend_init"] = "ok"
+
     from tinynerf_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -373,94 +477,141 @@ def main() -> None:
 
     settings = cfg.train_settings()
     params, opt_state = init_train_state(jax.random.PRNGKey(0), settings)
+    # Analytic-MFU weight MAC count (count BEFORE the donated train
+    # blocks delete the buffers).
+    mac_tiny = sum(
+        x.size for x in jax.tree_util.tree_leaves(params) if getattr(x, "ndim", 0) == 2
+    )
     rays_o_all, rays_d_all = get_rays_for_poses(H, W, focal, poses)
     pixels = images.reshape(n_images, H * W, 3)
     data = (rays_o_all, rays_d_all, pixels)
 
     block_size = 50
     block = make_train_block(settings, block_size)
-    train_rps, step_time, step_pct = _measure_train_rays_per_sec(
-        params, opt_state, block, data, cfg.n_rand, block_size
+    xla_out = secs.run(
+        "train_xla",
+        _measure_train_rays_per_sec,
+        params, opt_state, block, data, cfg.n_rand, block_size,
     )
+    train_rps, step_time, step_pct = xla_out if xla_out else (None, None, {})
 
     on_tpu = jax.default_backend() == "tpu"
     train_rps_fused = step_time_fused = train_rps_peak = None
     train_rps_nerf = step_pct_fused = None
     train_mfu_nerf = train_rps_nerf_s512 = render_rps_nerf_fused = None
+    train_mfu_tiny_fused = train_mfu_nerf_s512 = render_mfu_nerf = None
     parity = {}
     if on_tpu:
         import dataclasses
 
         from tinynerf_tpu.kernels.fused_train import make_fused_grad_fn
-
-        params_f, opt_state_f = init_train_state(jax.random.PRNGKey(0), settings)
-        block_f = make_train_block(
-            settings, block_size, grad_fn=make_fused_grad_fn(settings)
-        )
-        train_rps_fused, step_time_fused, step_pct_fused = _measure_train_rays_per_sec(
-            params_f, opt_state_f, block_f, data, cfg.n_rand, block_size
-        )
-
-        # Peak throughput at a large batch (fixed per-step cost amortized).
-        big = dataclasses.replace(settings, n_rand=16384)
-        params_b, opt_state_b = init_train_state(jax.random.PRNGKey(0), big)
-        block_b = make_train_block(big, 20, grad_fn=make_fused_grad_fn(big))
-        train_rps_peak, _, _ = _measure_train_rays_per_sec(
-            params_b, opt_state_b, block_b, data, 16384, 20, reps=5
-        )
-
-        # Quality flagship: hierarchical NeRF, fused coarse+fine kernels,
-        # 2048 x (64 coarse + 128 fine) — VERDICT r1 item 1's recipe.
         from tinynerf_tpu.kernels.fused_nerf_train import make_fused_nerf_grad_fn
         from tinynerf_tpu.models.nerf import NeRFConfig, init_nerf
 
         ncfg = NeRFConfig()
-        params_n, opt_state_n = init_train_state(
-            jax.random.PRNGKey(0), settings, init_fn=lambda k: init_nerf(k, ncfg)
-        )
-        block_n = make_train_block(
-            settings, 20,
-            grad_fn=make_fused_nerf_grad_fn(settings, ncfg, n_fine=128),
-        )
-        train_rps_nerf, _, _ = _measure_train_rays_per_sec(
-            params_n, opt_state_n, block_n, data, cfg.n_rand, 20, reps=5
-        )
-        # Analytic train MFU for the flagship: fwd+bwd ~ 3 forward-matmul
-        # equivalents per point over the coarse + fine-union sample axes.
+
+        def run_fused():
+            params_f, opt_state_f = init_train_state(jax.random.PRNGKey(0), settings)
+            block_f = make_train_block(
+                settings, block_size, grad_fn=make_fused_grad_fn(settings)
+            )
+            return _measure_train_rays_per_sec(
+                params_f, opt_state_f, block_f, data, cfg.n_rand, block_size
+            )
+
+        out = secs.run("train_fused", run_fused)
+        if out:
+            train_rps_fused, step_time_fused, step_pct_fused = out
+            # Canonical-recipe MFU (VERDICT r3 weak #6: the default
+            # 2048x64 path had no MFU number): fwd+bwd ~ 3 forward
+            # matmul equivalents per sample point.
+            train_mfu_tiny_fused = (
+                2.0 * mac_tiny * 3 * cfg.n_samples * train_rps_fused / PEAK_FLOPS
+            )
+
+        def run_peak():
+            # Peak throughput at a large batch (fixed per-step cost amortized).
+            big = dataclasses.replace(settings, n_rand=16384)
+            params_b, opt_state_b = init_train_state(jax.random.PRNGKey(0), big)
+            block_b = make_train_block(big, 20, grad_fn=make_fused_grad_fn(big))
+            return _measure_train_rays_per_sec(
+                params_b, opt_state_b, block_b, data, 16384, 20, reps=5
+            )[0]
+
+        train_rps_peak = secs.run("train_peak", run_peak)
+
+        # Quality flagship: hierarchical NeRF, fused coarse+fine kernels,
+        # 2048 x (64 coarse + 128 fine) — VERDICT r1 item 1's recipe.
+        nparams0 = init_nerf(jax.random.PRNGKey(0), ncfg)
         mac_nerf = sum(
             x.size
-            for x in jax.tree_util.tree_leaves(params_n["coarse"])
+            for x in jax.tree_util.tree_leaves(nparams0["coarse"])
             if getattr(x, "ndim", 0) == 2
         )
-        train_mfu_nerf = (
-            2.0 * mac_nerf * 3 * (64 + 192) * train_rps_nerf / 197e12
-        )
+        del nparams0
 
-        # Streamed fine kernel at S=512 (64 + 448): the large-sample
-        # recipe the monolithic kernel cannot fit (VERDICT r2 item 2).
-        params_s, opt_state_s = init_train_state(
-            jax.random.PRNGKey(0), settings, init_fn=lambda k: init_nerf(k, ncfg)
-        )
-        block_s = make_train_block(
-            settings, 20,
-            grad_fn=make_fused_nerf_grad_fn(settings, ncfg, n_fine=448),
-        )
-        train_rps_nerf_s512, _, _ = _measure_train_rays_per_sec(
-            params_s, opt_state_s, block_s, data, cfg.n_rand, 20, reps=5
-        )
+        def run_nerf():
+            params_n, opt_state_n = init_train_state(
+                jax.random.PRNGKey(0), settings, init_fn=lambda k: init_nerf(k, ncfg)
+            )
+            block_n = make_train_block(
+                settings, 20,
+                grad_fn=make_fused_nerf_grad_fn(settings, ncfg, n_fine=128),
+            )
+            return _measure_train_rays_per_sec(
+                params_n, opt_state_n, block_n, data, cfg.n_rand, 20, reps=5
+            )[0]
 
-        # Flagship render path regression tracker (VERDICT r2 weak #6).
-        # Fresh params: the train block donates its params/opt_state
-        # buffers, so params_n is deleted after the measurement above.
-        params_r, _ = init_train_state(
-            jax.random.PRNGKey(0), settings, init_fn=lambda k: init_nerf(k, ncfg)
-        )
-        render_rps_nerf_fused = _measure_nerf_render_scan(
-            params_r, rays_o_all[0][:8192], rays_d_all[0][:8192], ncfg
-        )
+        train_rps_nerf = secs.run("train_nerf_hierarchical", run_nerf)
+        if train_rps_nerf:
+            # Analytic train MFU: fwd+bwd ~ 3 forward-matmul equivalents
+            # per point over the coarse (64) + fine-union (192) axes.
+            train_mfu_nerf = (
+                2.0 * mac_nerf * 3 * (64 + 192) * train_rps_nerf / PEAK_FLOPS
+            )
+
+        def run_nerf_s512():
+            # Streamed fine kernel at S=512 (64 + 448): the large-sample
+            # recipe the monolithic kernel cannot fit (VERDICT r2 item 2).
+            params_s, opt_state_s = init_train_state(
+                jax.random.PRNGKey(0), settings, init_fn=lambda k: init_nerf(k, ncfg)
+            )
+            block_s = make_train_block(
+                settings, 20,
+                grad_fn=make_fused_nerf_grad_fn(settings, ncfg, n_fine=448),
+            )
+            return _measure_train_rays_per_sec(
+                params_s, opt_state_s, block_s, data, cfg.n_rand, 20, reps=5
+            )[0]
+
+        train_rps_nerf_s512 = secs.run("train_nerf_s512_streamed", run_nerf_s512)
+        if train_rps_nerf_s512:
+            # Coarse 64 points + fine union 64+448=512 points per ray.
+            train_mfu_nerf_s512 = (
+                2.0 * mac_nerf * 3 * (64 + 512) * train_rps_nerf_s512 / PEAK_FLOPS
+            )
+
+        def run_nerf_render():
+            # Flagship render path regression tracker (VERDICT r2 weak
+            # #6). Fresh params: the train blocks donate their buffers.
+            params_r, _ = init_train_state(
+                jax.random.PRNGKey(0), settings, init_fn=lambda k: init_nerf(k, ncfg)
+            )
+            return _measure_nerf_render_scan(
+                params_r, rays_o_all[0][:8192], rays_d_all[0][:8192], ncfg
+            )
+
+        render_rps_nerf_fused = secs.run("render_nerf_hierarchical", run_nerf_render)
+        if render_rps_nerf_fused:
+            # Forward-only MFU over coarse (64) + fine-union (192) points.
+            render_mfu_nerf = (
+                2.0 * mac_nerf * (64 + 192) * render_rps_nerf_fused / PEAK_FLOPS
+            )
 
         # Compiled-kernel parity gates (VERDICT r2 weak #5).
-        parity = _compiled_parity_gates(settings, cfg, ncfg)
+        parity = secs.run(
+            "parity_gates", _compiled_parity_gates, settings, cfg, ncfg
+        ) or {"parity_ok": False}
 
     params2, _ = init_train_state(jax.random.PRNGKey(0), settings)
     render_kwargs = dict(
@@ -474,12 +625,17 @@ def main() -> None:
         num_freqs=cfg.num_freqs,
         model_cfg=cfg.model_cfg(),
     )
-    render_rps = _measure_render_rays_per_sec(
-        make_image_renderer(use_fused=False, **render_kwargs), params2, poses[0], H * W
+    render_rps = secs.run(
+        "render_xla",
+        _measure_render_rays_per_sec,
+        make_image_renderer(use_fused=False, **render_kwargs), params2, poses[0], H * W,
     )
     render_rps_fused = (
-        _measure_render_rays_per_sec(
-            make_image_renderer(use_fused=True, **render_kwargs), params2, poses[0], H * W
+        secs.run(
+            "render_fused",
+            _measure_render_rays_per_sec,
+            make_image_renderer(use_fused=True, **render_kwargs),
+            params2, poses[0], H * W,
         )
         if on_tpu
         else None
@@ -489,93 +645,112 @@ def main() -> None:
     # 400 invocations per dispatch (one tunnel round-trip total).
     render_rps_kernel = render_mfu_kernel = None
     if on_tpu:
-        ro0, rd0 = rays_o_all[0][: 8192], rays_d_all[0][: 8192]
-        render_rps_kernel = _measure_render_kernel_scan(params2, ro0, rd0)
+        render_rps_kernel = secs.run(
+            "render_kernel_scan",
+            _measure_render_kernel_scan,
+            params2, rays_o_all[0][:8192], rays_d_all[0][:8192],
+        )
 
-    # Batched camera-path rendering (make_gif's path): all frames in ONE
-    # dispatch — the reference loops render_one per frame
-    # (src/make_gif.py:24-27, its long pole).
-    from tinynerf_tpu.ops.camera import spiral_poses
+    def run_frames():
+        # Batched camera-path rendering (make_gif's path): all frames in
+        # ONE dispatch — the reference loops render_one per frame
+        # (src/make_gif.py:24-27, its long pole).
+        from tinynerf_tpu.ops.camera import spiral_poses
 
-    n_frames = 20
-    path = spiral_poses(poses[0], n_frames=n_frames, radius=0.3)
-    frames_renderer = make_image_renderer(
-        use_fused=on_tpu, frames=True, **render_kwargs
-    )
-    _sync(frames_renderer(params2, path))  # compile
-    best_dt = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        _sync(frames_renderer(params2, path))
-        best_dt = min(best_dt, time.perf_counter() - t0)
-    render_rps_frames = n_frames * H * W / best_dt
-    # Render MFU: analytic forward matmul flops / v5e bf16 peak.
-    mac = sum(
-        x.size for x in jax.tree_util.tree_leaves(params2) if getattr(x, "ndim", 0) == 2
-    )
+        n_frames = 20
+        path = spiral_poses(poses[0], n_frames=n_frames, radius=0.3)
+        frames_renderer = make_image_renderer(
+            use_fused=on_tpu, frames=True, **render_kwargs
+        )
+        _sync(frames_renderer(params2, path))  # compile
+        best_dt = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _sync(frames_renderer(params2, path))
+            best_dt = min(best_dt, time.perf_counter() - t0)
+        return n_frames * H * W / best_dt
+
+    render_rps_frames = secs.run("render_frames_batched", run_frames)
     render_mfu = (
-        2.0 * mac * cfg.n_samples * render_rps_frames / 197e12 if on_tpu else None
+        2.0 * mac_tiny * cfg.n_samples * render_rps_frames / PEAK_FLOPS
+        if (on_tpu and render_rps_frames)
+        else None
     )
     if render_rps_kernel:
-        render_mfu_kernel = 2.0 * mac * cfg.n_samples * render_rps_kernel / 197e12
+        render_mfu_kernel = (
+            2.0 * mac_tiny * cfg.n_samples * render_rps_kernel / PEAK_FLOPS
+        )
 
-    baseline = _torch_cpu_baseline()
-    best_train = max(train_rps, train_rps_fused or 0.0)
-    result = {
-        "metric": "train_rays_per_sec_per_chip",
-        "value": round(best_train, 1),
-        "unit": "rays/s",
-        "vs_baseline": round(best_train / baseline, 2),
-        "extras": {
-            "train_rays_per_sec_xla": round(train_rps, 1),
-            "train_rays_per_sec_fused_kernel": (
-                round(train_rps_fused, 1) if train_rps_fused else None
-            ),
-            "train_rays_per_sec_peak_16384batch": (
-                round(train_rps_peak, 1) if train_rps_peak else None
-            ),
-            "train_rays_per_sec_nerf_hierarchical_fused": (
-                round(train_rps_nerf, 1) if train_rps_nerf else None
-            ),
-            "train_rays_per_sec_nerf_s512_streamed": (
-                round(train_rps_nerf_s512, 1) if train_rps_nerf_s512 else None
-            ),
-            "train_mfu_nerf": (
-                round(train_mfu_nerf, 4) if train_mfu_nerf else None
-            ),
-            "render_rays_per_sec_nerf_hierarchical_fused": (
-                round(render_rps_nerf_fused, 1) if render_rps_nerf_fused else None
-            ),
-            **parity,
-            "render_rays_per_sec_per_chip": round(render_rps, 1),
-            "render_rays_per_sec_fused_kernel": (
-                round(render_rps_fused, 1) if render_rps_fused else None
-            ),
-            "render_rays_per_sec_frames_batched": round(render_rps_frames, 1),
-            "render_rays_per_sec_kernel_scan": (
-                round(render_rps_kernel, 1) if render_rps_kernel else None
-            ),
-            "render_mfu_frames": round(render_mfu, 4) if render_mfu else None,
-            "render_mfu_kernel": (
-                round(render_mfu_kernel, 4) if render_mfu_kernel else None
-            ),
-            "train_step_ms": round(step_time * 1e3, 3),
-            "train_step_ms_fused": (
-                round(step_time_fused * 1e3, 3) if step_time_fused else None
-            ),
-            "train_step_pct": {k: round(v, 3) for k, v in step_pct.items()},
-            "train_step_pct_fused": (
-                {k: round(v, 3) for k, v in step_pct_fused.items()}
-                if step_pct_fused
-                else None
-            ),
-            "torch_cpu_baseline_rays_per_sec": round(baseline, 1),
-            "device": str(jax.devices()[0]),
-            "recipe": f"{cfg.n_rand} rays x {cfg.n_samples} samples, bf16 matmuls",
-            "dataset": "synthetic" if d.get("synthetic") else "tiny_nerf_data.npz",
-        },
+    baseline = secs.run("torch_cpu_baseline", _torch_cpu_baseline)
+    best_train = max(train_rps or 0.0, train_rps_fused or 0.0) or None
+    extras = {
+        "train_rays_per_sec_xla": round(train_rps, 1) if train_rps else None,
+        "train_rays_per_sec_fused_kernel": (
+            round(train_rps_fused, 1) if train_rps_fused else None
+        ),
+        "train_rays_per_sec_peak_16384batch": (
+            round(train_rps_peak, 1) if train_rps_peak else None
+        ),
+        "train_rays_per_sec_nerf_hierarchical_fused": (
+            round(train_rps_nerf, 1) if train_rps_nerf else None
+        ),
+        "train_rays_per_sec_nerf_s512_streamed": (
+            round(train_rps_nerf_s512, 1) if train_rps_nerf_s512 else None
+        ),
+        "train_mfu_tinynerf_fused": (
+            round(train_mfu_tiny_fused, 4) if train_mfu_tiny_fused else None
+        ),
+        "train_mfu_nerf": (
+            round(train_mfu_nerf, 4) if train_mfu_nerf else None
+        ),
+        "train_mfu_nerf_s512_streamed": (
+            round(train_mfu_nerf_s512, 4) if train_mfu_nerf_s512 else None
+        ),
+        "render_rays_per_sec_nerf_hierarchical_fused": (
+            round(render_rps_nerf_fused, 1) if render_rps_nerf_fused else None
+        ),
+        "render_mfu_nerf_hierarchical": (
+            round(render_mfu_nerf, 4) if render_mfu_nerf else None
+        ),
+        **parity,
+        "render_rays_per_sec_per_chip": (
+            round(render_rps, 1) if render_rps else None
+        ),
+        "render_rays_per_sec_fused_kernel": (
+            round(render_rps_fused, 1) if render_rps_fused else None
+        ),
+        "render_rays_per_sec_frames_batched": (
+            round(render_rps_frames, 1) if render_rps_frames else None
+        ),
+        "render_rays_per_sec_kernel_scan": (
+            round(render_rps_kernel, 1) if render_rps_kernel else None
+        ),
+        "render_mfu_frames": round(render_mfu, 4) if render_mfu else None,
+        "render_mfu_kernel": (
+            round(render_mfu_kernel, 4) if render_mfu_kernel else None
+        ),
+        "train_step_ms": round(step_time * 1e3, 3) if step_time else None,
+        "train_step_ms_fused": (
+            round(step_time_fused * 1e3, 3) if step_time_fused else None
+        ),
+        "train_step_pct": {k: round(v, 3) for k, v in step_pct.items()},
+        "train_step_pct_fused": (
+            {k: round(v, 3) for k, v in step_pct_fused.items()}
+            if step_pct_fused
+            else None
+        ),
+        "torch_cpu_baseline_rays_per_sec": (
+            round(baseline, 1) if baseline else None
+        ),
+        "device": str(devices[0]),
+        "recipe": f"{cfg.n_rand} rays x {cfg.n_samples} samples, bf16 matmuls",
+        "dataset": "synthetic" if d.get("synthetic") else "tiny_nerf_data.npz",
     }
-    print(json.dumps(result))
+    emit(
+        round(best_train, 1) if best_train else None,
+        round(best_train / baseline, 2) if (best_train and baseline) else None,
+        extras,
+    )
 
 
 if __name__ == "__main__":

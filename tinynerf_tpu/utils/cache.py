@@ -15,9 +15,17 @@ DEFAULT_CACHE_DIR = ".jax_cache"
 
 
 def enable_compilation_cache(cache_dir: str = DEFAULT_CACHE_DIR) -> None:
-    """Idempotently enable the on-disk compilation cache."""
+    """Idempotently enable the on-disk compilation cache.
+
+    Every CLI driver calls this first, so it doubles as the driver-init
+    hook that re-asserts JAX_PLATFORMS (see utils/platform.py — the
+    sandbox pre-imports jax, making the env var silently ineffective
+    otherwise)."""
     import jax
 
+    from tinynerf_tpu.utils.platform import honor_platform_env
+
+    honor_platform_env()
     os.makedirs(cache_dir, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache_dir))
