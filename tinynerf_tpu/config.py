@@ -78,6 +78,13 @@ class Config:
     # early death-window; held constant it fogs free space late in
     # training (measured: constant-noise pool run lost ~5 dB on
     # top-down views). Recommended: ~2000 with --ray-sampling pool.
+    sigma_noise_floor: float = 0.0  # with decay: decay to THIS std
+    # instead of 0 — a mild permanent density regularizer (one of the
+    # anti-memorization levers for the train/held-out gap).
+    weight_decay: float = 0.0  # AdamW decoupled decay on weight
+    # matrices (anti-memorization lever; 0 = reference-parity Adam)
+    lr_floor: float = 0.0  # with --lr-decay-steps: clamp the schedule
+    # at this lr instead of decaying indefinitely
 
     # --- forward-facing (LLFF-style) scenes: NDC reparameterization ---
     ndc: bool = False  # project rays to NDC space (ops/rays.ndc_rays,
@@ -99,8 +106,15 @@ class Config:
     # (coordinator from the launcher env; see parallel/mesh.py)
     profile_dir: Optional[str] = None  # jax.profiler trace output
     metrics_path: Optional[str] = None  # JSONL metrics log
-    holdout: int = 0  # trailing poses excluded from training, used for
-    # held-out novel-view PSNR evaluation at the end of the run
+    holdout: int = 0  # poses excluded from training, used for held-out
+    # novel-view PSNR evaluation at the end of the run
+    holdout_mode: str = "tail"  # "tail": the trailing N poses |
+    # "strided": N poses evenly spread over the capture's pose sequence
+    # (pose-diverse eval — the tail of the reference capture clusters
+    # in one orbit region, so tail-holdout under-covers the pose space)
+    eval_every: int = 0  # >0: render + score the held-out views every N
+    # steps and log to the JSONL metrics (the held-out learning curve;
+    # requires --holdout > 0)
     ckpt_keep: int = 0  # >0: also retain the last N step-stamped
     # checkpoint copies (0 = single latest file, reference behavior)
 
@@ -139,6 +153,9 @@ class Config:
             ray_sampling=self.ray_sampling,
             sigma_noise_std=self.sigma_noise_std,
             sigma_noise_decay_steps=self.sigma_noise_decay_steps,
+            sigma_noise_floor=self.sigma_noise_floor,
+            weight_decay=self.weight_decay,
+            lr_floor=self.lr_floor,
             num_freqs=self.num_freqs,
             lr=self.lr,
             lr_decay_steps=self.lr_decay_steps,

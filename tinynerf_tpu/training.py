@@ -64,6 +64,16 @@ class TrainSettings:
     # density fog late in training — measured: the constant-noise pool
     # run's top-down views dropped ~5 dB (benchmarks/r3).
     sigma_noise_decay_steps: int = 0
+    # >0 with decay: the noise decays to THIS std instead of 0 — a mild
+    # permanent density regularizer (one of the anti-memorization
+    # levers for the train/held-out gap, VERDICT r3 item 2).
+    sigma_noise_floor: float = 0.0
+    # AdamW-style decoupled weight decay on the 2-D weight matrices
+    # (biases/1-D params excluded). 0.0 = reference parity (plain Adam).
+    weight_decay: float = 0.0
+    # With lr_decay_steps: clamp the exponential schedule at this value
+    # (optax end_value) so late training keeps a non-vanishing lr.
+    lr_floor: float = 0.0
     # "image": each step draws rays from ONE image (step % N) — the
     # reference's semantics (src/train.py:108-112). "pool": each step
     # draws from the union of every train pixel — the full-NeRF paper's
@@ -74,20 +84,41 @@ class TrainSettings:
 
 
 def make_optimizer(
-    lr: float, decay_steps: int = 0, decay_factor: float = 0.1
+    lr: float,
+    decay_steps: int = 0,
+    decay_factor: float = 0.1,
+    weight_decay: float = 0.0,
+    lr_floor: float = 0.0,
 ) -> optax.GradientTransformation:
     if decay_steps > 0:
         schedule = optax.exponential_decay(
             init_value=lr,
             transition_steps=decay_steps,
             decay_rate=decay_factor,
+            end_value=lr_floor if lr_floor > 0 else None,
         )
-        return optax.adam(schedule, b1=0.9, b2=0.999, eps=1e-8)
-    return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+    else:
+        schedule = lr
+    if weight_decay > 0:
+        # Decoupled (AdamW) decay on weight MATRICES only: biases and
+        # other 1-D params carry no function-smoothness meaning and
+        # decaying them just fights the density/rgb head offsets.
+        return optax.adamw(
+            schedule, b1=0.9, b2=0.999, eps=1e-8,
+            weight_decay=weight_decay,
+            mask=lambda params: jax.tree_util.tree_map(
+                lambda x: x.ndim >= 2, params
+            ),
+        )
+    return optax.adam(schedule, b1=0.9, b2=0.999, eps=1e-8)
 
 
 def settings_optimizer(s: TrainSettings) -> optax.GradientTransformation:
-    return make_optimizer(s.lr, s.lr_decay_steps, s.lr_decay_factor)
+    return make_optimizer(
+        s.lr, s.lr_decay_steps, s.lr_decay_factor,
+        weight_decay=getattr(s, "weight_decay", 0.0),
+        lr_floor=getattr(s, "lr_floor", 0.0),
+    )
 
 
 def noise_scale_kwargs(s, step) -> Dict[str, jax.Array]:
@@ -95,10 +126,15 @@ def noise_scale_kwargs(s, step) -> Dict[str, jax.Array]:
     {} — call sites splat this so decay-off traces (and external
     grad_fn/loss signatures that predate the kwarg) are untouched."""
     decay = getattr(s, "sigma_noise_decay_steps", 0)
-    if decay <= 0 or getattr(s, "sigma_noise_std", 0.0) <= 0.0:
+    std = getattr(s, "sigma_noise_std", 0.0)
+    if decay <= 0 or std <= 0.0:
         return {}
+    # Decay toward sigma_noise_floor (as a fraction of std) instead of
+    # 0 when configured — a mild permanent regularizer (VERDICT r3
+    # item 2's "mild noise floor" lever).
+    floor_frac = min(max(getattr(s, "sigma_noise_floor", 0.0) / std, 0.0), 1.0)
     scale = jnp.clip(
-        1.0 - jnp.asarray(step, jnp.float32) / float(decay), 0.0, 1.0
+        1.0 - jnp.asarray(step, jnp.float32) / float(decay), floor_frac, 1.0
     )
     return {"noise_scale": scale}
 
