@@ -1,0 +1,44 @@
+#!/usr/bin/env bash
+# Round-4 hard-scene campaign (VERDICT r3 item 5): the "lattice" scene
+# (thin capsules ~1 px wide + 25-30 rad/unit textures) probes exactly
+# what the smooth sphere field cannot — does the pool+decay recipe and
+# the occupancy proposal hold up on Lego-like structure? Two 20k legs
+# (hierarchical control, occupancy) + held-out curve. ~35 min.
+set -u
+mkdir -p benchmarks/r4 outputs/r4 data
+
+if [ ! -f data/hard_scene.npz ]; then
+  echo "=== generating lattice capture ==="
+  timeout 2400 python -u -m tinynerf_tpu.synthetic \
+      --out data/hard_scene.npz --scene lattice \
+      > benchmarks/r4/hard_gen.log 2>&1
+  tail -1 benchmarks/r4/hard_gen.log
+fi
+
+run_leg () {
+  local name=$1; shift
+  echo "=== $name: train ==="
+  timeout 3600 python -u -m tinynerf_tpu.train \
+      --data-path data/hard_scene.npz --no-allow-synthetic \
+      --model nerf --fused-train --holdout 4 --eval-every 4000 \
+      --hidden 256 --n-fine 128 --ray-sampling pool \
+      --sigma-noise-std 1.0 --sigma-noise-decay-steps 2000 \
+      --iters 20000 --lr-decay-steps 20000 \
+      --ckpt-path "checkpoints/r4_${name}.npz" --no-resume \
+      --out-dir "outputs/r4/${name}" --preview-every 5000 \
+      --metrics-path "benchmarks/r4/${name}_train.jsonl" \
+      "$@" \
+      > "benchmarks/r4/${name}_train.log" 2>&1
+  tr '\r' '\n' < "benchmarks/r4/${name}_train.log" | grep -aE "Error|error|eval|done" | tail -4
+  echo "=== $name: all-views eval ==="
+  timeout 2400 python -u -m tinynerf_tpu.eval \
+      --data-path data/hard_scene.npz --no-allow-synthetic \
+      --ckpt-path "checkpoints/r4_${name}.npz" --views 0 \
+      --out-dir "benchmarks/r4/${name}_allviews" --no-save-images \
+      > "benchmarks/r4/${name}_eval.log" 2>&1
+  grep -aE "Error|error|ckpt|eval" "benchmarks/r4/${name}_eval.log" | tail -3
+}
+
+run_leg hard20k
+run_leg hardocc20k --proposal occupancy
+echo HARDSCENE_DONE

@@ -1,0 +1,40 @@
+#!/usr/bin/env bash
+# Round-4 held-out-gap levers (VERDICT r3 item 2): the 40k flagship
+# opened a 4.5 dB train/held-out gap (all-views 30.23 vs held-out-4
+# 25.74). Four 40k legs, all with the held-out curve logged every 2k:
+#   ctrl40k    — the round-3 recipe verbatim (the divergence baseline)
+#   wd40k      — + AdamW weight decay 1e-4 on weight matrices
+#   wdfloor40k — + weight decay AND a mild sigma-noise floor (0.05)
+#   strided40k — ctrl recipe, pose-DIVERSE holdout (is the gap partly
+#                tail-cluster eval poses rather than memorization?)
+# One TPU chip, ~25 min per leg.
+set -u
+mkdir -p benchmarks/r4 outputs/r4
+
+run_leg () {
+  local name=$1; shift
+  echo "=== $name: train ==="
+  timeout 5400 python -u -m tinynerf_tpu.train \
+      --model nerf --fused-train --holdout 4 --eval-every 2000 \
+      --hidden 256 --n-fine 128 --ray-sampling pool \
+      --sigma-noise-std 1.0 --sigma-noise-decay-steps 2000 \
+      --iters 40000 --lr-decay-steps 40000 \
+      --ckpt-path "checkpoints/r4_${name}.npz" --no-resume \
+      --out-dir "outputs/r4/${name}" --preview-every 10000 \
+      --metrics-path "benchmarks/r4/${name}_train.jsonl" \
+      "$@" \
+      > "benchmarks/r4/${name}_train.log" 2>&1
+  tr '\r' '\n' < "benchmarks/r4/${name}_train.log" | grep -aE "Error|error|eval|done" | tail -4
+  echo "=== $name: all-views eval ==="
+  timeout 2400 python -u -m tinynerf_tpu.eval \
+      --ckpt-path "checkpoints/r4_${name}.npz" --views 0 \
+      --out-dir "benchmarks/r4/${name}_allviews" --no-save-images \
+      > "benchmarks/r4/${name}_eval.log" 2>&1
+  grep -aE "Error|error|ckpt|eval" "benchmarks/r4/${name}_eval.log" | tail -3
+}
+
+run_leg ctrl40k
+run_leg wd40k --weight-decay 1e-4
+run_leg wdfloor40k --weight-decay 1e-4 --sigma-noise-floor 0.05
+run_leg strided40k --holdout-mode strided
+echo LEVERS_DONE

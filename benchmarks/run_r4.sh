@@ -1,0 +1,31 @@
+#!/usr/bin/env bash
+# Round-4 on-chip campaign master runner. Order matters (VERDICT r3
+# item 1): bench first — its parity gates compile kernels/
+# fused_partials.py on the real chip for the FIRST time, so Mosaic
+# surprises surface before hours of training are queued behind them.
+# Each stage is independent; a failure logs and moves on (the r3
+# outage taught us not to chain everything on one process).
+set -u
+mkdir -p benchmarks/r4
+stamp() { date -u +%FT%TZ; }
+
+echo "[$(stamp)] stage 1: bench (parity gates, throughput, MFU)"
+timeout 5400 python -u bench.py > benchmarks/r4/bench.log 2>&1
+echo "bench rc=$? $(tail -c 300 benchmarks/r4/bench.log | head -c 300)"
+
+echo "[$(stamp)] stage 2: occupancy A/B"
+bash benchmarks/occupancy_r4.sh 2>&1 | tail -20
+
+echo "[$(stamp)] stage 3: held-out levers (4x 40k)"
+bash benchmarks/heldout_levers_r4.sh 2>&1 | tail -30
+
+echo "[$(stamp)] stage 4: 80k flagship"
+bash benchmarks/flagship80k_r4.sh 2>&1 | tail -10
+
+echo "[$(stamp)] stage 5: NDC quality"
+bash benchmarks/ndc_quality_r4.sh 2>&1 | tail -10
+
+echo "[$(stamp)] stage 6: hard scene"
+bash benchmarks/hardscene_r4.sh 2>&1 | tail -15
+
+echo "[$(stamp)] R4_CAMPAIGN_DONE"

@@ -216,3 +216,57 @@ class TestSSIM:
         f = jax.jit(ssim)
         img = jnp.ones((16, 16, 3)) * 0.5
         assert np.isfinite(float(f(img, img * 0.9)))
+
+
+class TestHardScene:
+    """The 'lattice' hard scene (VERDICT r3 item 5): thin structures +
+    high-frequency texture the smooth sphere field cannot probe."""
+
+    def test_lattice_generates_and_is_harder(self):
+        import numpy as np
+
+        from tinynerf_tpu.synthetic import generate_synthetic_dataset
+
+        hard = generate_synthetic_dataset(n_poses=2, h=48, w=48, scene="lattice")
+        soft = generate_synthetic_dataset(n_poses=2, h=48, w=48, scene="spheres")
+        assert hard["images"].shape == (2, 48, 48, 3)
+        assert np.isfinite(hard["images"]).all()
+        assert 0.0 <= hard["images"].min() and hard["images"].max() <= 1.0
+
+        def grad_energy(im):
+            return float(
+                (np.diff(im, axis=0) ** 2).mean() + (np.diff(im, axis=1) ** 2).mean()
+            )
+
+        # The whole point: substantially more high-frequency content.
+        assert grad_energy(hard["images"][0]) > 3.0 * grad_energy(soft["images"][0])
+
+    def test_unknown_scene_rejected(self):
+        import pytest
+
+        from tinynerf_tpu.synthetic import generate_synthetic_dataset
+
+        with pytest.raises(ValueError, match="scene"):
+            generate_synthetic_dataset(n_poses=1, h=8, w=8, scene="nope")
+
+    def test_lattice_trains_end_to_end(self, tmp_path):
+        """A tiny train run on the hard scene stays finite (the full
+        quality campaign runs on TPU, benchmarks/hardscene_r4.sh)."""
+        import numpy as np
+
+        from tinynerf_tpu import train
+        from tinynerf_tpu.config import Config
+        from tinynerf_tpu.synthetic import generate_synthetic_dataset
+
+        d = generate_synthetic_dataset(n_poses=4, h=24, w=24, scene="lattice")
+        path = str(tmp_path / "hard.npz")
+        np.savez(path, images=d["images"], poses=d["poses"], focal=d["focal"])
+        cfg = Config(
+            data_path=path, iters=20, n_rand=64, n_samples=8, num_freqs=4,
+            hidden=16, log_every=10, preview_every=20, ckpt_every=20,
+            chunk=128, bf16=False,
+            ckpt_path=str(tmp_path / "ckpt.npz"),
+            out_dir=str(tmp_path / "out"), resume=False,
+        )
+        res = train.main(cfg)
+        assert np.isfinite(res["final_psnr"])
