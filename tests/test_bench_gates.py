@@ -87,3 +87,44 @@ def test_bench_section_isolation():
     assert secs.status["good"] == "ok"
     assert secs.status["bad"].startswith("error: ZeroDivisionError")
     assert secs.degraded is True
+
+
+def test_bench_main_wiring_cpu(monkeypatch, capsys):
+    """bench.main()'s restructured section flow, JSON assembly, and
+    null-safety — with the heavy measurements stubbed (the real ones
+    take ~1s/step on CPU; the TPU driver runs them for real)."""
+    import json
+
+    sys.path.insert(0, ".")
+    import bench
+
+    monkeypatch.setattr(
+        bench, "_measure_train_rays_per_sec",
+        lambda *a, **k: (1e6, 1e-3, {"p50_ms": 1.0, "p95_ms": 1.2, "max_ms": 2.0}),
+    )
+    monkeypatch.setattr(
+        bench, "_measure_render_rays_per_sec", lambda *a, **k: 2e6
+    )
+    monkeypatch.setattr(bench, "_torch_cpu_baseline", lambda: 500.0)
+    # Tiny dataset: the one section left unstubbed (frames-batched
+    # render) must run REAL jit/render code, just on 20x20 images.
+    from tinynerf_tpu import data as data_mod
+    from tinynerf_tpu.synthetic import generate_synthetic_dataset
+
+    tiny = generate_synthetic_dataset(n_poses=3, h=20, w=20)
+    monkeypatch.setattr(
+        data_mod, "ensure_data", lambda *a, **k: {**tiny, "synthetic": True}
+    )
+    bench.main()
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    art = json.loads(line)
+    assert art["value"] == 1e6
+    assert art["vs_baseline"] == 2000.0
+    ex = art["extras"]
+    assert ex["degraded"] is False, ex["sections"]
+    assert ex["sections"]["backend_init"] == "ok"
+    assert ex["sections"]["train_xla"] == "ok"
+    assert ex["sections"]["render_frames_batched"] == "ok"
+    # CPU backend: the TPU-only sections must be absent, not errored.
+    assert "train_fused" not in ex["sections"]
+    assert ex["render_rays_per_sec_frames_batched"] is not None
