@@ -73,16 +73,33 @@ class _Sections:
     """Per-section failure isolation: a dead tunnel mid-run (or one
     kernel that won't compile) degrades the artifact instead of
     destroying it. Each section records ok/error; any error flips
-    degraded=True, but the bench still emits its JSON line with rc 0."""
+    degraded=True, but the bench still emits its JSON line with rc 0.
+
+    Numeric section results are also snapshotted into .values so the
+    watchdog (below) can emit a PARTIAL artifact if a later section
+    hangs — a silently-dying tunnel blocks inside np.asarray, which no
+    try/except can catch."""
 
     def __init__(self):
         self.status: dict[str, str] = {}
+        self.values: dict[str, object] = {}
         self.degraded = False
+        self.emitted = False
 
     def run(self, name: str, fn, *args, **kwargs):
         try:
             out = fn(*args, **kwargs)
             self.status[name] = "ok"
+            if isinstance(out, (int, float)):
+                self.values[name] = round(float(out), 1)
+            elif (
+                isinstance(out, tuple) and out and isinstance(out[0], (int, float))
+            ):
+                self.values[name] = round(float(out[0]), 1)
+            elif isinstance(out, dict):
+                self.values[name] = {
+                    k: v for k, v in out.items() if isinstance(v, (int, float, bool))
+                }
             return out
         except Exception as e:  # noqa: BLE001 — record and continue
             import traceback
@@ -91,6 +108,41 @@ class _Sections:
             self.status[name] = f"error: {type(e).__name__}: {e}"[:300]
             self.degraded = True
             return None
+
+
+def _start_watchdog(secs: _Sections, deadline_s: float) -> None:
+    """Emit a partial artifact and exit rc 0 if the bench is still
+    running at the deadline (a mid-run tunnel death HANGS in host
+    transfers; the outer `timeout` would otherwise SIGTERM us before
+    any JSON line is printed — the exact rc:124-and-no-evidence outcome
+    the sectioning exists to prevent)."""
+    import threading
+
+    def fire():
+        time.sleep(deadline_s)
+        if secs.emitted:
+            return
+        secs.degraded = True
+        print(
+            json.dumps(
+                {
+                    "metric": "train_rays_per_sec_per_chip",
+                    "value": None,
+                    "unit": "rays/s",
+                    "vs_baseline": None,
+                    "extras": {
+                        "degraded": True,
+                        "watchdog_fired_after_s": deadline_s,
+                        "sections": secs.status,
+                        "partial_values": secs.values,
+                    },
+                }
+            ),
+            flush=True,
+        )
+        os._exit(0)
+
+    threading.Thread(target=fire, daemon=True).start()
 
 
 def _sync(x):
@@ -429,6 +481,7 @@ def main() -> None:
     secs = _Sections()
 
     def emit(value, vs_baseline, extras):
+        secs.emitted = True
         extras["sections"] = secs.status
         extras["degraded"] = secs.degraded
         print(
@@ -458,6 +511,7 @@ def main() -> None:
         emit(None, None, {"error": "backend init failed after retries"})
         return
     secs.status["backend_init"] = "ok"
+    _start_watchdog(secs, float(os.environ.get("BENCH_DEADLINE_S", 3900)))
 
     from tinynerf_tpu.utils.cache import enable_compilation_cache
 

@@ -43,7 +43,13 @@ def collect_run(name: str) -> dict:
         ]
         if curve:
             run["heldout_curve"] = curve
-        final = [r for r in rows if r.get("kind") == "held-out" and "step" not in r]
+        # Final eval row: marked "final" (round-4 schema) or legacy
+        # step-less (round-3 logs).
+        final = [
+            r
+            for r in rows
+            if r.get("kind") == "held-out" and (r.get("final") or "step" not in r)
+        ]
         if final:
             run["heldout_final"] = final[-1]["eval"]
     log = f"{R4}/{name}_train.log"

@@ -13,15 +13,25 @@ while ! grep -q TPU_UP_AT "$WATCH_LOG" 2>/dev/null; do
 done
 echo "[campaign] tunnel up at $(date -u +%FT%TZ); smoke check first"
 mkdir -p benchmarks/r4
-# Quick sanity: a 200-iter train (compile + steps) before hours of queue.
-timeout 900 python -u -m tinynerf_tpu.train --iters 200 --log-every 100 \
-    --preview-every 200 --ckpt-every 200 \
-    --ckpt-path checkpoints/r4_smoke.npz --no-resume \
-    --out-dir outputs/r4/smoke > benchmarks/r4/smoke.log 2>&1
-rc=$?
-tr '\r' '\n' < benchmarks/r4/smoke.log | tail -n 2
-if [ $rc -ne 0 ]; then
-  echo "[campaign] smoke failed rc=$rc — NOT starting the queue" >&2
-  exit $rc
+# Quick sanity: a 200-iter train before hours of queue. Timeout 1800s:
+# CLAUDE.md measures per-process compile/executable-load floors of
+# 2-5 min PER program through the tunnel (3+ programs here), so 900s
+# would SIGTERM a healthy-but-cold run (and wedge the chip ~10 min).
+smoke () {
+  timeout 1800 python -u -m tinynerf_tpu.train --iters 200 --log-every 100 \
+      --preview-every 200 --ckpt-every 200 \
+      --ckpt-path checkpoints/r4_smoke.npz --no-resume \
+      --out-dir outputs/r4/smoke >> benchmarks/r4/smoke.log 2>&1
+}
+if ! smoke; then
+  # A failed/killed smoke may have wedged the chip on a stale grant
+  # (~10 min); wait it out and retry once before deciding.
+  echo "[campaign] smoke attempt 1 failed; waiting 600s for a possible wedge"
+  sleep 600
+  if ! smoke; then
+    echo "[campaign] smoke failed twice — starting the queue ANYWAY" >&2
+    echo "[campaign] (bench degrades gracefully; stages are independent)" >&2
+  fi
 fi
+tr '\r' '\n' < benchmarks/r4/smoke.log | tail -n 2
 bash benchmarks/run_r4.sh

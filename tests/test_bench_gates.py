@@ -128,3 +128,39 @@ def test_bench_main_wiring_cpu(monkeypatch, capsys):
     # CPU backend: the TPU-only sections must be absent, not errored.
     assert "train_fused" not in ex["sections"]
     assert ex["render_rays_per_sec_frames_batched"] is not None
+
+
+def test_bench_watchdog_emits_partial_artifact(monkeypatch, capsys):
+    """A mid-run hang (silently dying tunnel blocks in np.asarray) must
+    still yield a one-line JSON artifact: the watchdog fires, emits the
+    sections/partial values collected so far, and exits 0."""
+    import json
+    import os as os_mod
+
+    sys.path.insert(0, ".")
+    import bench
+
+    secs = bench._Sections()
+    secs.run("train_xla", lambda: 123456.0)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    exited = {}
+    monkeypatch.setattr(os_mod, "_exit", lambda rc: exited.setdefault("rc", rc))
+    bench._start_watchdog(secs, deadline_s=0.0)
+    import time as time_mod
+
+    for _ in range(100):  # let the daemon thread run
+        if exited:
+            break
+        time_mod.sleep(0.05)
+    assert exited.get("rc") == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    art = json.loads(line)
+    assert art["extras"]["degraded"] is True
+    assert art["extras"]["watchdog_fired_after_s"] == 0.0
+    assert art["extras"]["partial_values"]["train_xla"] == 123456.0
+    # And once a real emit happened, the watchdog stays silent.
+    secs2 = bench._Sections()
+    secs2.emitted = True
+    bench._start_watchdog(secs2, deadline_s=0.0)
+    time_mod.sleep(0.2)
+    assert capsys.readouterr().out.strip() == ""

@@ -335,3 +335,39 @@ def test_weight_decay_and_lr_floor_train(tiny_npz, tmp_path):
     )
     res = train.main(cfg)
     assert np.isfinite(res["final_psnr"])
+
+
+def test_eval_holdout_views_strided_ckpt(tiny_npz, tmp_path):
+    """--holdout-views evaluates the poses the checkpoint recorded as
+    held out — with strided training a tail slice would silently score
+    TRAINED views (code-review r4 finding)."""
+    from tinynerf_tpu import eval as eval_mod, train
+
+    cfg = _cfg(tiny_npz, tmp_path, iters=20, holdout=2, holdout_mode="strided")
+    train.main(cfg)
+    ecfg = eval_mod.EvalConfig(
+        ckpt_path=cfg.ckpt_path, data_path=tiny_npz,
+        out_dir=str(tmp_path / "ho_eval"), holdout_views=True,
+        n_samples=8, chunk=128, save_images=False,
+    )
+    res = eval_mod.main(ecfg)
+    import json
+
+    idx = json.load(open(str(tmp_path / "ho_eval" / "metrics.json")))["indices"]
+    # 6 poses, strided holdout 2 -> original poses 0 and 5.
+    assert idx == [0, 5], idx
+    assert np.isfinite(res["psnr_mean"])
+
+
+def test_eval_holdout_views_requires_metadata(tiny_npz, tmp_path):
+    from tinynerf_tpu import eval as eval_mod, train
+
+    cfg = _cfg(tiny_npz, tmp_path, iters=20, holdout=0)
+    train.main(cfg)
+    ecfg = eval_mod.EvalConfig(
+        ckpt_path=cfg.ckpt_path, data_path=tiny_npz,
+        out_dir=str(tmp_path / "x"), holdout_views=True,
+        n_samples=8, chunk=128, save_images=False,
+    )
+    with pytest.raises(ValueError, match="holdout"):
+        eval_mod.main(ecfg)

@@ -30,7 +30,12 @@ class EvalConfig:
     data_path: str = "data/tiny_nerf_data.npz"
     out_dir: str = "outputs/eval"
     views: int = 8  # number of evenly spaced views (0 = all)
-    first_view: int = 0  # start index (e.g. N-holdout for held-out eval)
+    first_view: int = 0  # start index over the ORIGINAL pose order.
+    # NOTE: for checkpoints trained with --holdout-mode strided, a tail
+    # slice is NOT the held-out set — use --holdout-views instead.
+    holdout_views: bool = False  # evaluate exactly the poses the
+    # checkpoint recorded as held out (meta["holdout"]["indices"];
+    # correct for both tail and strided holdouts)
     n_samples: int = 64
     # None = the checkpoint's fine-sample count; an int (incl. 0)
     # overrides it (0 = coarse/grid budget only).
@@ -60,12 +65,22 @@ def main(cfg: EvalConfig = EvalConfig()) -> dict:
     )
     print(f"[ckpt] {cfg.ckpt_path} (model {meta['model']}, step {meta['step']})")
 
-    pool = list(range(cfg.first_view, n_images))
-    if cfg.views and cfg.views < len(pool):
-        stride = max(1, len(pool) // cfg.views)
-        indices = pool[::stride][: cfg.views]
+    if cfg.holdout_views:
+        hold = meta.get("holdout")
+        if not hold:
+            raise ValueError(
+                "--holdout-views: this checkpoint has no holdout metadata "
+                "(trained without --holdout, or by an older version)"
+            )
+        indices = [int(i) for i in hold["indices"]]
+        print(f"[eval] checkpoint held-out poses ({hold['mode']}): {indices}")
     else:
-        indices = pool
+        pool = list(range(cfg.first_view, n_images))
+        if cfg.views and cfg.views < len(pool):
+            stride = max(1, len(pool) // cfg.views)
+            indices = pool[::stride][: cfg.views]
+        else:
+            indices = pool
     res = evaluate_views(renderer, params, images, poses, indices)
     print(
         f"[eval] {len(indices)} views: PSNR mean {res['psnr_mean']:.2f} dB "

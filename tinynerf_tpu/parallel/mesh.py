@@ -115,7 +115,7 @@ def initialize_distributed(
         # single-process runs (ADVICE r3).
         if "coordinator_address" in str(e):
             return False
-        e.add_note(
+        note = (
             "tinynerf_tpu.initialize_distributed: this ValueError from "
             "jax.distributed.initialize() did not match the known "
             "'no cluster detected' message (validated on jax 0.9.x). "
@@ -124,6 +124,10 @@ def initialize_distributed(
             "parallel/mesh.py; if you expected a cluster, the bootstrap "
             "genuinely failed (see the original error above)."
         )
+        if hasattr(e, "add_note"):  # 3.11+; pyproject allows 3.10
+            e.add_note(note)
+        else:
+            e.args = (f"{e.args[0] if e.args else ''}\n{note}",)
         raise
     except RuntimeError as e:
         if "backend" not in str(e):

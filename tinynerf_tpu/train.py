@@ -141,6 +141,7 @@ def main(cfg: Config) -> dict:
         raise ValueError(
             f"holdout_mode={cfg.holdout_mode!r} (expected 'tail'|'strided')"
         )
+    holdout_orig_indices = list(range(n_train, n_images))  # tail default
     if cfg.holdout > 0:
         if cfg.holdout_mode == "strided":
             # Pose-diverse holdout: evenly spread over the capture's
@@ -164,6 +165,7 @@ def main(cfg: Config) -> dict:
             rays_o_all = rays_o_all[order]
             rays_d_all = rays_d_all[order]
             pixels = pixels[order]
+            holdout_orig_indices = hold.tolist()
             print(f"[eval] strided holdout: original poses {hold.tolist()}")
         rays_o_all = rays_o_all[:n_train]
         rays_d_all = rays_d_all[:n_train]
@@ -339,6 +341,22 @@ def main(cfg: Config) -> dict:
             meta={
                 "in_dim": cfg.model_cfg().in_dim,
                 "model": cfg.model,
+                # Which ORIGINAL dataset poses were never trained on —
+                # strided mode reorders the capture internally, so a
+                # consumer evaluating "held-out" views from the ckpt
+                # must use these indices, not a tail slice (eval.py
+                # --holdout-views reads this).
+                **(
+                    {
+                        "holdout": {
+                            "count": cfg.holdout,
+                            "mode": cfg.holdout_mode,
+                            "indices": holdout_orig_indices,
+                        }
+                    }
+                    if cfg.holdout > 0
+                    else {}
+                ),
                 "cfg": {
                     "hidden": cfg.hidden,
                     "depth": cfg.depth if cfg.model == "tinynerf" else cfg.nerf_depth,
@@ -370,6 +388,9 @@ def main(cfg: Config) -> dict:
 
         pbar = tqdm(total=cfg.iters, initial=start_step, desc="train")
         last = {}
+        eval_secs = 0.0  # in-loop held-out eval time, excluded from the
+        # rays/s denominator (cadence varies per run; including it would
+        # make throughput numbers incomparable across eval schedules)
         t0 = time.time()
         for block_start, block_len in _boundaries(
             start_step, cfg.iters, cfg.log_every, cfg.preview_every,
@@ -399,8 +420,10 @@ def main(cfg: Config) -> dict:
                     metrics_f.write(json.dumps({"step": step_end, **last}) + "\n")
                     metrics_f.flush()
 
-            if cfg.eval_every > 0 and (
-                step_end % cfg.eval_every == 0 or step_end == cfg.iters
+            if (
+                cfg.eval_every > 0
+                and step_end % cfg.eval_every == 0
+                and step_end != cfg.iters  # final eval below covers it
             ):
                 # Held-out learning curve: score the never-trained poses
                 # mid-schedule so train/held-out divergence is a logged
@@ -409,10 +432,12 @@ def main(cfg: Config) -> dict:
                 # until the final eval).
                 from tinynerf_tpu.evaluation import evaluate_views
 
+                t_ev = time.time()
                 ev = evaluate_views(
                     renderer, params, images, poses,
                     list(range(n_train, n_images)),
                 )
+                eval_secs += time.time() - t_ev
                 pbar.set_postfix(**last, ho=round(ev["psnr_mean"], 2))
                 if metrics_f:
                     metrics_f.write(
@@ -439,7 +464,7 @@ def main(cfg: Config) -> dict:
             if step_end % cfg.ckpt_every == 0:
                 save_ckpt(step_end)
         pbar.close()
-        dt = time.time() - t0
+        dt = time.time() - t0 - eval_secs
     finally:
         if cfg.profile_dir:
             jax.profiler.stop_trace()
@@ -468,7 +493,13 @@ def main(cfg: Config) -> dict:
     )
     if cfg.metrics_path:
         with open(cfg.metrics_path, "a") as f:
-            f.write(json.dumps({"eval": eval_res, "kind": eval_kind}) + "\n")
+            f.write(
+                json.dumps(
+                    {"step": cfg.iters, "eval": eval_res, "kind": eval_kind,
+                     "final": True}
+                )
+                + "\n"
+            )
 
     trained_steps = cfg.iters - start_step
     rays_per_sec = (trained_steps * cfg.n_rand / dt) if dt > 0 and trained_steps else 0.0
