@@ -13,6 +13,10 @@ echo "[$(stamp)] stage 1: bench (parity gates, throughput, MFU)"
 timeout 5400 python -u bench.py > benchmarks/r4/bench.log 2>&1
 echo "bench rc=$? $(tail -c 300 benchmarks/r4/bench.log | head -c 300)"
 
+echo "[$(stamp)] stage 1b: tile-size sweep (MFU-lift experiment)"
+timeout 3600 python -u benchmarks/tile_sweep_r4.py > benchmarks/r4/tile_sweep.log 2>&1
+echo "tile_sweep rc=$? $(tail -n 1 benchmarks/r4/tile_sweep.log | head -c 300)"
+
 echo "[$(stamp)] stage 2: occupancy A/B"
 bash benchmarks/occupancy_r4.sh 2>&1 | tail -20
 
