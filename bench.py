@@ -13,7 +13,70 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
+
+# ---------------------------------------------------------------------
+# Launcher guard — BEFORE the jax import. When the TPU tunnel is down,
+# `import jax` itself can HANG at interpreter start (the environment
+# pre-initializes the axon plugin), so no amount of in-process
+# hardening can save the artifact. Run as a script, this process stays
+# jax-free: it re-execs itself as a child (TINYNERF_BENCH_CHILD=1),
+# streams its output, and if the child dies or stalls without printing
+# the JSON line, emits a degraded artifact itself — rc 0 either way.
+# Importing bench as a module (tests) skips all of this.
+# ---------------------------------------------------------------------
+if __name__ == "__main__" and os.environ.get("TINYNERF_BENCH_CHILD") != "1":
+    import subprocess
+
+    deadline = float(os.environ.get("BENCH_TOTAL_DEADLINE_S", 4800))
+    env = dict(os.environ, TINYNERF_BENCH_CHILD="1")
+    child = subprocess.Popen(
+        [sys.executable, "-u", os.path.abspath(__file__)],
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=sys.stderr,
+        text=True,
+    )
+    got_artifact = False
+    t0 = time.time()
+    import threading
+
+    def _reaper():
+        while child.poll() is None:
+            if time.time() - t0 > deadline:
+                child.kill()
+                return
+            time.sleep(5)
+
+    threading.Thread(target=_reaper, daemon=True).start()
+    assert child.stdout is not None
+    for line in child.stdout:
+        sys.stdout.write(line)
+        sys.stdout.flush()
+        if line.startswith('{"metric"'):
+            got_artifact = True
+    child.wait()
+    if not got_artifact:
+        print(
+            json.dumps(
+                {
+                    "metric": "train_rays_per_sec_per_chip",
+                    "value": None,
+                    "unit": "rays/s",
+                    "vs_baseline": None,
+                    "extras": {
+                        "degraded": True,
+                        "launcher": (
+                            f"child exited rc={child.returncode} after "
+                            f"{time.time() - t0:.0f}s without an artifact "
+                            "(jax import / backend init hang — tunnel down?)"
+                        ),
+                    },
+                }
+            )
+        )
+    sys.exit(0)
 
 import jax
 import jax.numpy as jnp

@@ -164,3 +164,50 @@ def test_bench_watchdog_emits_partial_artifact(monkeypatch, capsys):
     bench._start_watchdog(secs2, deadline_s=0.0)
     time_mod.sleep(0.2)
     assert capsys.readouterr().out.strip() == ""
+
+
+class TestBenchLauncher:
+    """The jax-free launcher guard at the top of bench.py: when the
+    tunnel is down, `import jax` itself hangs at interpreter start, so
+    only a parent that never imports jax can guarantee an artifact."""
+
+    def _stub(self, tmp_path, tail: str) -> str:
+        src = open("bench.py").read()
+        cut = src.rindex("\nimport jax")  # the real import, not comments
+        path = str(tmp_path / "bench_stub.py")
+        open(path, "w").write(src[:cut] + "\n" + tail)
+        return path
+
+    def test_passthrough(self, tmp_path):
+        import json
+        import subprocess
+
+        path = self._stub(
+            tmp_path,
+            'print(\'{"metric": "train_rays_per_sec_per_chip", "value": 42.0}\')\n',
+        )
+        p = subprocess.run(
+            [sys.executable, "-u", path], capture_output=True, text=True,
+            timeout=60,
+        )
+        lines = [l for l in p.stdout.splitlines() if l.startswith('{"metric"')]
+        assert p.returncode == 0 and len(lines) == 1, p.stdout
+        assert json.loads(lines[0])["value"] == 42.0
+
+    def test_hang_produces_degraded_artifact(self, tmp_path):
+        import json
+        import os as os_mod
+        import subprocess
+
+        path = self._stub(tmp_path, "import time\ntime.sleep(600)\n")
+        p = subprocess.run(
+            [sys.executable, "-u", path],
+            env=dict(os_mod.environ, BENCH_TOTAL_DEADLINE_S="3"),
+            capture_output=True, text=True, timeout=120,
+        )
+        lines = [l for l in p.stdout.splitlines() if l.startswith('{"metric"')]
+        assert p.returncode == 0 and len(lines) == 1, p.stdout
+        art = json.loads(lines[0])
+        assert art["value"] is None
+        assert art["extras"]["degraded"] is True
+        assert "launcher" in art["extras"]
