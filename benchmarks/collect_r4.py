@@ -43,6 +43,13 @@ def collect_run(name: str) -> dict:
         ]
         if curve:
             run["heldout_curve"] = curve
+        ema_curve = [
+            {"step": r["step"], "psnr": r["eval_ema"]["psnr_mean"]}
+            for r in rows
+            if r.get("kind") == "held-out" and "step" in r and r.get("eval_ema")
+        ]
+        if ema_curve:
+            run["heldout_ema_curve"] = ema_curve
         # Final eval row: marked "final" (round-4 schema) or legacy
         # step-less (round-3 logs).
         final = [
@@ -52,6 +59,8 @@ def collect_run(name: str) -> dict:
         ]
         if final:
             run["heldout_final"] = final[-1]["eval"]
+            if final[-1].get("eval_ema"):
+                run["heldout_final_ema"] = final[-1]["eval_ema"]
     log = f"{R4}/{name}_train.log"
     if os.path.exists(log):
         text = open(log, errors="replace").read()

@@ -5,6 +5,8 @@
 #   ctrl40k    — the round-3 recipe verbatim (the divergence baseline)
 #   wd40k      — + AdamW weight decay 1e-4 on weight matrices
 #   wdfloor40k — + weight decay AND a mild sigma-noise floor (0.05)
+#   ema40k     — ctrl recipe + Polyak averaging 0.999 (scored vs raw
+#                weights at every eval — two curves from one run)
 #   strided40k — ctrl recipe, pose-DIVERSE holdout (is the gap partly
 #                tail-cluster eval poses rather than memorization?)
 # One TPU chip, ~25 min per leg.
@@ -37,4 +39,5 @@ run_leg ctrl40k
 run_leg wd40k --weight-decay 1e-4
 run_leg wdfloor40k --weight-decay 1e-4 --sigma-noise-floor 0.05
 run_leg strided40k --holdout-mode strided
+run_leg ema40k --ema-decay 0.999
 echo LEVERS_DONE

@@ -371,3 +371,32 @@ def test_eval_holdout_views_requires_metadata(tiny_npz, tmp_path):
     )
     with pytest.raises(ValueError, match="holdout"):
         eval_mod.main(ecfg)
+
+
+def test_ema_twin_checkpoint_and_eval(tiny_npz, tmp_path):
+    """--ema-decay: the Polyak average is scored alongside raw weights
+    at every held-out eval and checkpointed as <ckpt>.ema.npz in the
+    standard schema (any render consumer loads it directly)."""
+    import json
+
+    from tinynerf_tpu import eval as eval_mod, train
+
+    metrics = str(tmp_path / "m.jsonl")
+    cfg = _cfg(
+        tiny_npz, tmp_path, holdout=2, eval_every=20, ema_decay=0.9,
+        metrics_path=metrics,
+    )
+    res = train.main(cfg)
+    assert res["eval_ema"] is not None
+    assert np.isfinite(res["eval_ema"]["psnr_mean"])
+    rows = [json.loads(l) for l in open(metrics)]
+    mid = [r for r in rows if r.get("kind") == "held-out" and r.get("step") == 20]
+    assert mid and mid[0].get("eval_ema"), mid
+    ema_path = cfg.ckpt_path + ".ema.npz"
+    assert os.path.exists(ema_path)
+    ecfg = eval_mod.EvalConfig(
+        ckpt_path=ema_path, data_path=tiny_npz, out_dir=str(tmp_path / "e"),
+        views=2, n_samples=8, chunk=128, save_images=False,
+    )
+    r = eval_mod.main(ecfg)
+    assert np.isfinite(r["psnr_mean"])

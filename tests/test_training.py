@@ -89,3 +89,56 @@ def test_step_reproducible_from_key_and_step():
         p, o, m = step_fn(p, o, key, jnp.int32(123), *data)
         outs.append(float(m["loss"]))
     assert outs[0] == outs[1]
+
+
+class TestEmaParams:
+    """Polyak averaging inside opt_state (--ema-decay)."""
+
+    def test_ema_tracks_params(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        import optax
+
+        from tinynerf_tpu.training import (
+            ema_of_params,
+            ema_params_from_opt_state,
+            make_optimizer,
+        )
+
+        opt = make_optimizer(0.1, ema_decay=0.5)
+        params = {"w": jnp.zeros((4,))}
+        state = opt.init(params)
+        assert ema_params_from_opt_state(state) is not None
+        # One step with gradient -1 -> adam moves params to ~ +0.1;
+        # ema = 0.5*0 + 0.5*new_params.
+        g = {"w": -jnp.ones((4,))}
+        updates, state = opt.update(g, state, params)
+        new_params = optax.apply_updates(params, updates)
+        ema = ema_params_from_opt_state(state)
+        np.testing.assert_allclose(
+            np.asarray(ema["w"]), 0.5 * np.asarray(new_params["w"]), rtol=1e-6
+        )
+
+    def test_no_ema_by_default(self):
+        import jax.numpy as jnp
+
+        from tinynerf_tpu.training import ema_params_from_opt_state, make_optimizer
+
+        opt = make_optimizer(0.1)
+        state = opt.init({"w": jnp.zeros((2,))})
+        assert ema_params_from_opt_state(state) is None
+
+    def test_ema_composes_with_weight_decay_and_schedule(self):
+        import jax.numpy as jnp
+
+        from tinynerf_tpu.training import ema_params_from_opt_state, make_optimizer
+
+        opt = make_optimizer(
+            1e-3, decay_steps=10, weight_decay=1e-4, lr_floor=1e-5, ema_decay=0.9
+        )
+        params = {"w": jnp.ones((4, 4)), "b": jnp.ones((4,))}
+        state = opt.init(params)
+        g = {"w": jnp.zeros((4, 4)), "b": jnp.zeros((4,))}
+        _, state = opt.update(g, state, params)
+        assert ema_params_from_opt_state(state) is not None

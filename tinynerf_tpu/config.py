@@ -85,6 +85,10 @@ class Config:
     # matrices (anti-memorization lever; 0 = reference-parity Adam)
     lr_floor: float = 0.0  # with --lr-decay-steps: clamp the schedule
     # at this lr instead of decaying indefinitely
+    ema_decay: float = 0.0  # >0 (e.g. 0.999): Polyak-average the params;
+    # the average is checkpointed as a TWIN file <ckpt>.ema.npz that any
+    # render consumer (eval/make_gif) can load directly, and held-out
+    # evals score both the raw and averaged weights
 
     # --- forward-facing (LLFF-style) scenes: NDC reparameterization ---
     ndc: bool = False  # project rays to NDC space (ops/rays.ndc_rays,
@@ -156,6 +160,7 @@ class Config:
             sigma_noise_floor=self.sigma_noise_floor,
             weight_decay=self.weight_decay,
             lr_floor=self.lr_floor,
+            ema_decay=self.ema_decay,
             num_freqs=self.num_freqs,
             lr=self.lr,
             lr_decay_steps=self.lr_decay_steps,

@@ -327,56 +327,69 @@ def main(cfg: Config) -> dict:
             ndc=cfg.ndc,
         )
 
+    def _meta():
+        return {
+            "in_dim": cfg.model_cfg().in_dim,
+            "model": cfg.model,
+            # Which ORIGINAL dataset poses were never trained on —
+            # strided mode reorders the capture internally, so a
+            # consumer evaluating "held-out" views from the ckpt
+            # must use these indices, not a tail slice (eval.py
+            # --holdout-views reads this).
+            **(
+                {
+                    "holdout": {
+                        "count": cfg.holdout,
+                        "mode": cfg.holdout_mode,
+                        "indices": holdout_orig_indices,
+                    }
+                }
+                if cfg.holdout > 0
+                else {}
+            ),
+            "cfg": {
+                "hidden": cfg.hidden,
+                "depth": cfg.depth if cfg.model == "tinynerf" else cfg.nerf_depth,
+                "skip_at": cfg.skip_at if cfg.model == "tinynerf" else cfg.nerf_skip_at,
+                "num_freqs": cfg.num_freqs,
+                "num_freqs_dir": cfg.num_freqs_dir,
+                "rgb_hidden": cfg.rgb_hidden,
+                "n_fine": cfg.n_fine,
+                "ndc": cfg.ndc,
+                "proposal": cfg.proposal,
+                # Grid bounds (occupancy only): render consumers
+                # must rebuild the sampler over the SAME box.
+                **(
+                    {"occ_aabb": np.asarray(occ_aabb).tolist()}
+                    if occupancy
+                    else {}
+                ),
+            },
+        }
+
+    def _ema():
+        """Current Polyak average (None unless --ema-decay > 0)."""
+        if cfg.ema_decay <= 0:
+            return None
+        from tinynerf_tpu.training import ema_params_from_opt_state
+
+        return ema_params_from_opt_state(opt_state)
+
     def save_ckpt(step: int):
+        ema = _ema()
+        if ema is not None:
+            # Twin checkpoint holding the Polyak-averaged weights in the
+            # SAME schema (params + step + meta, empty opt_state), so
+            # eval/make_gif consume it with --ckpt-path <ckpt>.ema.npz.
+            ckpt_lib.save_checkpoint(
+                cfg.ckpt_path + ".ema.npz", ema, {}, step, meta=_meta()
+            )
         save = (
             (lambda *a, **k: ckpt_lib.save_checkpoint_rotating(*a, **k, keep=cfg.ckpt_keep))
             if cfg.ckpt_keep > 0
             else ckpt_lib.save_checkpoint
         )
-        save(
-            cfg.ckpt_path,
-            params,
-            opt_state,
-            step,
-            meta={
-                "in_dim": cfg.model_cfg().in_dim,
-                "model": cfg.model,
-                # Which ORIGINAL dataset poses were never trained on —
-                # strided mode reorders the capture internally, so a
-                # consumer evaluating "held-out" views from the ckpt
-                # must use these indices, not a tail slice (eval.py
-                # --holdout-views reads this).
-                **(
-                    {
-                        "holdout": {
-                            "count": cfg.holdout,
-                            "mode": cfg.holdout_mode,
-                            "indices": holdout_orig_indices,
-                        }
-                    }
-                    if cfg.holdout > 0
-                    else {}
-                ),
-                "cfg": {
-                    "hidden": cfg.hidden,
-                    "depth": cfg.depth if cfg.model == "tinynerf" else cfg.nerf_depth,
-                    "skip_at": cfg.skip_at if cfg.model == "tinynerf" else cfg.nerf_skip_at,
-                    "num_freqs": cfg.num_freqs,
-                    "num_freqs_dir": cfg.num_freqs_dir,
-                    "rgb_hidden": cfg.rgb_hidden,
-                    "n_fine": cfg.n_fine,
-                    "ndc": cfg.ndc,
-                    "proposal": cfg.proposal,
-                    # Grid bounds (occupancy only): render consumers
-                    # must rebuild the sampler over the SAME box.
-                    **(
-                        {"occ_aabb": np.asarray(occ_aabb).tolist()}
-                        if occupancy
-                        else {}
-                    ),
-                },
-            },
-        )
+        save(cfg.ckpt_path, params, opt_state, step, meta=_meta())
 
     blocks = {}  # block_size -> compiled fn
     metrics_f = open(cfg.metrics_path, "a") if cfg.metrics_path else None
@@ -433,16 +446,28 @@ def main(cfg: Config) -> dict:
                 from tinynerf_tpu.evaluation import evaluate_views
 
                 t_ev = time.time()
-                ev = evaluate_views(
-                    renderer, params, images, poses,
-                    list(range(n_train, n_images)),
+                ho_idx = list(range(n_train, n_images))
+                ev = evaluate_views(renderer, params, images, poses, ho_idx)
+                ema = _ema()
+                ev_ema = (
+                    evaluate_views(renderer, ema, images, poses, ho_idx)
+                    if ema is not None
+                    else None
                 )
                 eval_secs += time.time() - t_ev
-                pbar.set_postfix(**last, ho=round(ev["psnr_mean"], 2))
+                post = {"ho": round(ev["psnr_mean"], 2)}
+                if ev_ema:
+                    post["ho_ema"] = round(ev_ema["psnr_mean"], 2)
+                pbar.set_postfix(**last, **post)
                 if metrics_f:
                     metrics_f.write(
                         json.dumps(
-                            {"step": step_end, "eval": ev, "kind": "held-out"}
+                            {
+                                "step": step_end,
+                                "eval": ev,
+                                "kind": "held-out",
+                                **({"eval_ema": ev_ema} if ev_ema else {}),
+                            }
                         )
                         + "\n"
                     )
@@ -491,12 +516,21 @@ def main(cfg: Config) -> dict:
         f"mean {eval_res['psnr_mean']:.2f} dB "
         f"(min {eval_res['psnr_min']:.2f}, max {eval_res['psnr_max']:.2f})"
     )
+    ema_final = _ema()
+    eval_res_ema = None
+    if ema_final is not None:
+        eval_res_ema = evaluate_views(renderer, ema_final, images, poses, eval_idx)
+        print(
+            f"[eval] {eval_kind} PSNR (EMA weights): "
+            f"mean {eval_res_ema['psnr_mean']:.2f} dB"
+        )
     if cfg.metrics_path:
         with open(cfg.metrics_path, "a") as f:
             f.write(
                 json.dumps(
                     {"step": cfg.iters, "eval": eval_res, "kind": eval_kind,
-                     "final": True}
+                     "final": True,
+                     **({"eval_ema": eval_res_ema} if eval_res_ema else {})}
                 )
                 + "\n"
             )
@@ -511,6 +545,7 @@ def main(cfg: Config) -> dict:
     return {
         "final_psnr": last.get("psnr"),
         "eval": eval_res,
+        "eval_ema": eval_res_ema,
         "rays_per_sec": rays_per_sec,
         "params": params,
     }

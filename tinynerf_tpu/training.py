@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Dict, Tuple
+from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -74,6 +74,12 @@ class TrainSettings:
     # With lr_decay_steps: clamp the exponential schedule at this value
     # (optax end_value) so late training keeps a non-vanishing lr.
     lr_floor: float = 0.0
+    # >0: maintain an exponential moving average of the PARAMS inside
+    # the optimizer state (Polyak averaging, e.g. 0.999) — the averaged
+    # weights generalize better to held-out poses than the last SGD
+    # iterate. Rides inside opt_state, so every train path (fused,
+    # sharded, occupancy, multiscene) inherits it and resume keeps it.
+    ema_decay: float = 0.0
     # "image": each step draws rays from ONE image (step % N) — the
     # reference's semantics (src/train.py:108-112). "pool": each step
     # draws from the union of every train pixel — the full-NeRF paper's
@@ -83,12 +89,56 @@ class TrainSettings:
     model_cfg: TinyNeRFConfig = TinyNeRFConfig()
 
 
+class EmaParamsState(NamedTuple):
+    """Optimizer-state slot holding the Polyak average of the params."""
+
+    ema: Any
+
+
+def ema_of_params(decay: float) -> optax.GradientTransformation:
+    """Identity on updates; tracks ema = decay*ema + (1-decay)*new_params
+    in its state. Chained AFTER the base optimizer so `new_params` is
+    the post-update iterate."""
+
+    def init_fn(params):
+        # copy=True: jnp.asarray would ALIAS the param buffers, and the
+        # train blocks donate params and opt_state as separate argnums —
+        # aliased leaves crash with "donate the same buffer twice".
+        return EmaParamsState(
+            ema=jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
+        )
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("ema_of_params requires params in update()")
+        new_params = optax.apply_updates(params, updates)
+        ema = jax.tree_util.tree_map(
+            lambda e, p: decay * e + (1.0 - decay) * p, state.ema, new_params
+        )
+        return updates, EmaParamsState(ema=ema)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def ema_params_from_opt_state(opt_state):
+    """Extract the Polyak average from an opt_state built with
+    ema_decay > 0 (None if absent)."""
+    states = jax.tree_util.tree_leaves(
+        opt_state, is_leaf=lambda x: isinstance(x, EmaParamsState)
+    )
+    for s in states:
+        if isinstance(s, EmaParamsState):
+            return s.ema
+    return None
+
+
 def make_optimizer(
     lr: float,
     decay_steps: int = 0,
     decay_factor: float = 0.1,
     weight_decay: float = 0.0,
     lr_floor: float = 0.0,
+    ema_decay: float = 0.0,
 ) -> optax.GradientTransformation:
     if decay_steps > 0:
         schedule = optax.exponential_decay(
@@ -103,14 +153,18 @@ def make_optimizer(
         # Decoupled (AdamW) decay on weight MATRICES only: biases and
         # other 1-D params carry no function-smoothness meaning and
         # decaying them just fights the density/rgb head offsets.
-        return optax.adamw(
+        base = optax.adamw(
             schedule, b1=0.9, b2=0.999, eps=1e-8,
             weight_decay=weight_decay,
             mask=lambda params: jax.tree_util.tree_map(
                 lambda x: x.ndim >= 2, params
             ),
         )
-    return optax.adam(schedule, b1=0.9, b2=0.999, eps=1e-8)
+    else:
+        base = optax.adam(schedule, b1=0.9, b2=0.999, eps=1e-8)
+    if ema_decay > 0:
+        return optax.chain(base, ema_of_params(ema_decay))
+    return base
 
 
 def settings_optimizer(s: TrainSettings) -> optax.GradientTransformation:
@@ -118,6 +172,7 @@ def settings_optimizer(s: TrainSettings) -> optax.GradientTransformation:
         s.lr, s.lr_decay_steps, s.lr_decay_factor,
         weight_decay=getattr(s, "weight_decay", 0.0),
         lr_floor=getattr(s, "lr_floor", 0.0),
+        ema_decay=getattr(s, "ema_decay", 0.0),
     )
 
 
