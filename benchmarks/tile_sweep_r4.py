@@ -101,6 +101,73 @@ def main() -> None:
             out["train_step"][tr] = f"error: {type(e).__name__}: {e}"[:160]
         print(f"[sweep] train TR={tr}: {out['train_step'][tr]}", flush=True)
 
+    # --- hierarchical NeRF train (coarse+fine fused), tile_r sweep ---
+    # At TR>=256 the fine union's activation scratch exceeds the
+    # monolithic budget and auto-routes to the streamed kernel — the
+    # sweep thus also compares monolithic vs streamed at equal shapes.
+    from tinynerf_tpu.kernels.fused_nerf_train import make_fused_nerf_grad_fn
+    from tinynerf_tpu.models.nerf import NeRFConfig, init_nerf
+
+    ncfg = NeRFConfig(
+        compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32
+    )
+    out["nerf_train"] = {}
+    for tr in tile_sizes:
+        try:
+            p0, o0 = init_train_state(
+                jax.random.PRNGKey(0), big, init_fn=lambda k: init_nerf(k, ncfg)
+            )
+            block = make_train_block(
+                big, 10,
+                grad_fn=make_fused_nerf_grad_fn(big, ncfg, n_fine=128, tile_r=tr),
+            )
+            p0, o0, m = block(p0, o0, key, jnp.int32(0), data_o, data_d, data_p)
+            np.asarray(m["loss"])
+            best = float("inf")
+            for _ in range(reps):
+                p1, o1 = init_train_state(
+                    jax.random.PRNGKey(0), big, init_fn=lambda k: init_nerf(k, ncfg)
+                )
+                t0 = time.perf_counter()
+                p1, o1, m = block(p1, o1, key, jnp.int32(10), data_o, data_d, data_p)
+                np.asarray(m["loss"])
+                best = min(best, time.perf_counter() - t0)
+            out["nerf_train"][tr] = round(R * 10 / best, 1)
+        except Exception as e:  # noqa: BLE001
+            out["nerf_train"][tr] = f"error: {type(e).__name__}: {e}"[:160]
+        print(f"[sweep] nerf TR={tr}: {out['nerf_train'][tr]}", flush=True)
+
+    # --- streamed S=512 fine union: sample_block sweep at TR=128 ---
+    out["nerf_s512_block"] = {}
+    for sb in ((64, 128, 256) if on_tpu else (16,)):
+        try:
+            nf = 448 if on_tpu else 16
+            sbig = dataclasses.replace(big, n_samples=64 if on_tpu else 16)
+            p0, o0 = init_train_state(
+                jax.random.PRNGKey(0), sbig, init_fn=lambda k: init_nerf(k, ncfg)
+            )
+            block = make_train_block(
+                sbig, 10,
+                grad_fn=make_fused_nerf_grad_fn(
+                    sbig, ncfg, n_fine=nf, sample_block=sb
+                ),
+            )
+            p0, o0, m = block(p0, o0, key, jnp.int32(0), data_o, data_d, data_p)
+            np.asarray(m["loss"])
+            best = float("inf")
+            for _ in range(reps):
+                p1, o1 = init_train_state(
+                    jax.random.PRNGKey(0), sbig, init_fn=lambda k: init_nerf(k, ncfg)
+                )
+                t0 = time.perf_counter()
+                p1, o1, m = block(p1, o1, key, jnp.int32(10), data_o, data_d, data_p)
+                np.asarray(m["loss"])
+                best = min(best, time.perf_counter() - t0)
+            out["nerf_s512_block"][sb] = round(R * 10 / best, 1)
+        except Exception as e:  # noqa: BLE001
+            out["nerf_s512_block"][sb] = f"error: {type(e).__name__}: {e}"[:160]
+        print(f"[sweep] s512 SB={sb}: {out['nerf_s512_block'][sb]}", flush=True)
+
     os.makedirs("benchmarks/r4", exist_ok=True)
     with open("benchmarks/r4/tile_sweep.json", "w") as f:
         json.dump(out, f, indent=1)
