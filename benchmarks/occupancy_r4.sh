@@ -32,4 +32,9 @@ run_leg () {
 
 run_leg occ20k --proposal occupancy
 run_leg ctrl20k
+# The efficiency claim proper: a grid proposal concentrates samples
+# where density lives, so a SMALLER total budget (128 vs 192) may hold
+# quality — if it does, that's the real rays/s win, not just the
+# dropped coarse pass.
+run_leg occ128_20k --proposal occupancy --n-fine 64
 echo OCC_AB_DONE
