@@ -400,3 +400,20 @@ def test_ema_twin_checkpoint_and_eval(tiny_npz, tmp_path):
     )
     r = eval_mod.main(ecfg)
     assert np.isfinite(r["psnr_mean"])
+
+
+def test_eval_error_maps(tiny_npz, tmp_path):
+    from tinynerf_tpu import eval as eval_mod, train
+
+    cfg = _cfg(tiny_npz, tmp_path, iters=20)
+    train.main(cfg)
+    ecfg = eval_mod.EvalConfig(
+        ckpt_path=cfg.ckpt_path, data_path=tiny_npz,
+        out_dir=str(tmp_path / "em"), views=2, n_samples=8, chunk=128,
+        save_images=False, save_error_maps=True,
+    )
+    eval_mod.main(ecfg)
+    import glob
+
+    errs = glob.glob(str(tmp_path / "em" / "err_*.png"))
+    assert len(errs) == 2, errs

@@ -45,6 +45,10 @@ class EvalConfig:
     chunk: int = 8192
     fused: bool = False
     save_images: bool = True
+    save_error_maps: bool = False  # also write err_<i>.png per view:
+    # per-pixel |render - gt| (mean over rgb), tone-mapped so 0.25
+    # absolute error saturates — shows WHERE quality is lost (thin
+    # structures vs texture vs silhouettes)
     allow_synthetic: bool = True
 
 
@@ -90,9 +94,18 @@ def main(cfg: EvalConfig = EvalConfig()) -> dict:
     os.makedirs(cfg.out_dir, exist_ok=True)
     with open(f"{cfg.out_dir}/metrics.json", "w") as f:
         json.dump({"indices": indices, **res}, f, indent=2)
-    if cfg.save_images:
+    if cfg.save_images or cfg.save_error_maps:
         for i in indices:
-            write_png(f"{cfg.out_dir}/view_{i:03d}.png", np.asarray(renderer(params, poses[i])))
+            img = np.asarray(renderer(params, poses[i]))
+            if cfg.save_images:
+                write_png(f"{cfg.out_dir}/view_{i:03d}.png", img)
+            if cfg.save_error_maps:
+                err = np.abs(img - np.asarray(images[i])).mean(axis=-1)
+                err = np.clip(err / 0.25, 0.0, 1.0)
+                write_png(
+                    f"{cfg.out_dir}/err_{i:03d}.png",
+                    np.stack([err, err, err], axis=-1),
+                )
         print(f"[eval] wrote renders + metrics.json to {cfg.out_dir}")
     return res
 
