@@ -17,19 +17,24 @@ echo "[$(stamp)] stage 1b: tile-size sweep (MFU-lift experiment)"
 timeout 3600 python -u benchmarks/tile_sweep_r4.py > benchmarks/r4/tile_sweep.log 2>&1
 echo "tile_sweep rc=$? $(tail -n 1 benchmarks/r4/tile_sweep.log | head -c 300)"
 
-echo "[$(stamp)] stage 2: occupancy A/B"
+# Stage order = shortest-complete-artifact first: if the tunnel dies
+# again mid-campaign, the round keeps whole evidence items, not the
+# first half of one long one.
+echo "[$(stamp)] stage 2: occupancy A/B (3x 20k)"
 bash benchmarks/occupancy_r4.sh 2>&1 | tail -20
 
-echo "[$(stamp)] stage 3: held-out levers (4x 40k)"
-bash benchmarks/heldout_levers_r4.sh 2>&1 | tail -30
-
-echo "[$(stamp)] stage 4: 80k flagship"
-bash benchmarks/flagship80k_r4.sh 2>&1 | tail -10
-
-echo "[$(stamp)] stage 5: NDC quality"
+echo "[$(stamp)] stage 3: NDC quality (20k)"
 bash benchmarks/ndc_quality_r4.sh 2>&1 | tail -10
 
-echo "[$(stamp)] stage 6: hard scene"
+echo "[$(stamp)] stage 4: hard scene (2x 20k)"
 bash benchmarks/hardscene_r4.sh 2>&1 | tail -15
 
+echo "[$(stamp)] stage 5: held-out levers (5x 40k)"
+bash benchmarks/heldout_levers_r4.sh 2>&1 | tail -30
+
+echo "[$(stamp)] stage 6: 80k flagship"
+bash benchmarks/flagship80k_r4.sh 2>&1 | tail -10
+
+python benchmarks/collect_r4.py 2>&1 | tail -2
+python benchmarks/plot_curves_r4.py 2>&1 | tail -2
 echo "[$(stamp)] R4_CAMPAIGN_DONE"
