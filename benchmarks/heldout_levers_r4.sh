@@ -40,4 +40,5 @@ run_leg wd40k --weight-decay 1e-4
 run_leg wdfloor40k --weight-decay 1e-4 --sigma-noise-floor 0.05
 run_leg strided40k --holdout-mode strided
 run_leg ema40k --ema-decay 0.999
+run_leg sparse40k --sigma-sparsity 1e-3
 echo LEVERS_DONE

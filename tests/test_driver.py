@@ -417,3 +417,29 @@ def test_eval_error_maps(tiny_npz, tmp_path):
 
     errs = glob.glob(str(tmp_path / "em" / "err_*.png"))
     assert len(errs) == 2, errs
+
+
+def test_sigma_sparsity_trains_all_paths(tiny_npz, tmp_path):
+    """--sigma-sparsity composes with the default, nerf, and occupancy
+    paths end to end; rejects the sharded hierarchical path."""
+    from tinynerf_tpu import train
+
+    for extra in (
+        {},
+        {"model": "nerf", "n_fine": 8},
+        {"model": "nerf", "n_fine": 8, "proposal": "occupancy"},
+    ):
+        cfg = _cfg(
+            tiny_npz, tmp_path, iters=20, sigma_sparsity=1e-3,
+            sigma_sparsity_points=128,
+            ckpt_path=str(tmp_path / f"ck_{len(extra)}.npz"), **extra,
+        )
+        res = train.main(cfg)
+        assert np.isfinite(res["final_psnr"]), extra
+
+    cfg = _cfg(
+        tiny_npz, tmp_path, sigma_sparsity=1e-3, data_parallel=True,
+    )
+    if jax.device_count() > 1:
+        with pytest.raises(ValueError, match="sigma-sparsity"):
+            train.main(cfg)

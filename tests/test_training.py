@@ -142,3 +142,75 @@ class TestEmaParams:
         g = {"w": jnp.zeros((4, 4)), "b": jnp.zeros((4,))}
         _, state = opt.update(g, state, params)
         assert ema_params_from_opt_state(state) is not None
+
+
+class TestSparsityPrior:
+    """Free-space density prior (ops/regularizers.py)."""
+
+    def test_grads_structure_and_direction_tinynerf(self):
+        import jax
+        import jax.numpy as jnp
+
+        from tinynerf_tpu.models.tinynerf import TinyNeRFConfig, init_tinynerf
+        from tinynerf_tpu.ops.encoding import encoding_dim
+        from tinynerf_tpu.ops.regularizers import make_sparsity_grad_fn
+        from tinynerf_tpu.training import TrainSettings
+
+        mcfg = TinyNeRFConfig(
+            in_dim=encoding_dim(4), hidden=16, compute_dtype=jnp.float32
+        )
+        s = TrainSettings(num_freqs=4, model_cfg=mcfg)
+        params = init_tinynerf(jax.random.PRNGKey(0), mcfg)
+        fn = make_sparsity_grad_fn(s, "tinynerf", lam=1e-2, n_points=256)
+        g = fn(params, jax.random.PRNGKey(1))
+        # Same structure as params, finite, and nonzero somewhere on
+        # the sigma path.
+        assert jax.tree_util.tree_structure(g) == jax.tree_util.tree_structure(
+            params
+        )
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(bool(jnp.isfinite(x).all()) for x in leaves)
+        assert any(float(jnp.abs(x).max()) > 0 for x in leaves)
+        # rgb head receives NO gradient from a sigma-only loss.
+        assert float(jnp.abs(g["rgb"]["w"]).max()) == 0.0
+
+    def test_prior_reduces_mean_sigma_nerf(self):
+        """A few prior-only update steps push mean density down on the
+        {'coarse','fine'} pytree."""
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from tinynerf_tpu.models.nerf import NeRFConfig, apply_nerf_mlp, init_nerf
+        from tinynerf_tpu.ops.encoding import positional_encoding
+        from tinynerf_tpu.ops.regularizers import make_sparsity_grad_fn
+        from tinynerf_tpu.training import TrainSettings
+
+        ncfg = NeRFConfig(
+            num_freqs=4, num_freqs_dir=2, hidden=16, depth=3, skip_at=2,
+            rgb_hidden=8, compute_dtype=jnp.float32,
+        )
+        s = TrainSettings(num_freqs=4)
+        params = init_nerf(jax.random.PRNGKey(3), ncfg)
+        fn = make_sparsity_grad_fn(s, "nerf", nerf_cfg=ncfg, lam=1.0, n_points=512)
+        opt = optax.sgd(1e-2)
+        state = opt.init(params)
+
+        def mean_sig(p):
+            pts = jax.random.uniform(
+                jax.random.PRNGKey(9), (512, 3), minval=-3, maxval=3
+            )
+            x = positional_encoding(pts, num_freqs=4)
+            d = positional_encoding(jnp.ones((512, 3)) / jnp.sqrt(3.0), num_freqs=2)
+            return float(
+                apply_nerf_mlp(p["fine"], x, d, ncfg)[1].mean()
+                + apply_nerf_mlp(p["coarse"], x, d, ncfg)[1].mean()
+            )
+
+        before = mean_sig(params)
+        for i in range(5):
+            g = fn(params, jax.random.PRNGKey(i))
+            upd, state = opt.update(g, state, params)
+            params = optax.apply_updates(params, upd)
+        after = mean_sig(params)
+        assert after < before, (before, after)

@@ -85,6 +85,13 @@ class Config:
     # matrices (anti-memorization lever; 0 = reference-parity Adam)
     lr_floor: float = 0.0  # with --lr-decay-steps: clamp the schedule
     # at this lr instead of decaying indefinitely
+    sigma_sparsity: float = 0.0  # >0 (e.g. 1e-3): free-space density
+    # prior — L1 on sigma at random points in the scene box each step
+    # (Plenoxels-style). Clears the diffuse density halo that costs
+    # held-out PSNR at viewing angles the capture under-covers
+    # (docs/DESIGN.md 4d); composes with --fused-train (the prior is an
+    # additive XLA gradient term, ~1-2% extra compute)
+    sigma_sparsity_points: int = 8192  # points sampled per step
     ema_decay: float = 0.0  # >0 (e.g. 0.999): Polyak-average the params;
     # the average is checkpointed as a TWIN file <ckpt>.ema.npz that any
     # render consumer (eval/make_gif) can load directly, and held-out

@@ -276,6 +276,7 @@ def make_occupancy_train_block(
     fused: bool = False,
     interpret=None,
     mesh=None,
+    extra_grad_fn=None,
 ):
     """Jitted K-step block, signature-compatible with
     training.make_train_block's return. Per block: ONE density-grid
@@ -362,6 +363,14 @@ def make_occupancy_train_block(
                     lambda p: loss(p, grid, ro, rd, target, k_jitter, s, **nkw),
                     has_aux=True,
                 )(params)
+            if extra_grad_fn is not None:
+                # Regularizer gradient (e.g. the free-space sparsity
+                # prior). Under a data mesh each peer draws its own
+                # points (k_jitter is device-folded) and the pmean just
+                # averages the estimates — same expectation, less noise.
+                from tinynerf_tpu.ops.regularizers import add_grads
+
+                grads = add_grads(grads, extra_grad_fn(params, k_jitter))
             if mesh is not None:
                 from tinynerf_tpu.parallel.mesh import DATA_AXIS
 

@@ -1,0 +1,97 @@
+"""Volume-density regularizers added OUTSIDE the main loss path.
+
+Free-space sparsity prior: L = lam * mean(sigma(p)) over points drawn
+uniformly in the scene box each step (the Plenoxels-style L1 density
+prior). Round-4 error-map study (docs/DESIGN.md 4d): the flagship's
+held-out loss is a DIFFUSE density halo in space that training rays
+rarely carve (grazing angles above the capture's elevation band) —
+exactly what a volume-wide "be empty unless supervised" prior removes.
+The MSE term defends real surfaces (strongly supervised); most of the
+box is empty, so the expected gradient clears fog.
+
+Implemented as a standalone grads function ADDED to whatever gradient
+path the step uses — XLA or any fused Pallas kernel — so the kernels
+need no changes: the prior is ~n_points MLP evaluations (default 8192)
+against the step's n_rand * S (≈ 500k) — about 1-2% extra compute.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from tinynerf_tpu.ops.encoding import positional_encoding
+
+
+def make_sparsity_grad_fn(
+    s,
+    model_kind: str,
+    *,
+    nerf_cfg=None,
+    lam: float,
+    n_points: int = 8192,
+    aabb: Optional[jax.Array] = None,
+):
+    """-> fn(params, key) -> grads (same pytree structure as params).
+
+    s: TrainSettings (num_freqs / model_cfg). model_kind: "tinynerf" |
+    "nerf" (nerf applies the prior to EVERY MLP in the params dict —
+    coarse+fine, or the single occupancy-proposal MLP). aabb (2,3)
+    bounds the sampled box (defaults to the occupancy module's scene
+    box so the prior covers every reachable sample point).
+    """
+    if aabb is None:
+        from tinynerf_tpu.ops.occupancy import default_aabb
+
+        aabb = default_aabb()
+    aabb = jnp.asarray(aabb, jnp.float32)
+
+    if model_kind == "tinynerf":
+        from tinynerf_tpu.models.tinynerf import apply_tinynerf
+
+        def mean_sigma(params, pts):
+            x = positional_encoding(pts, num_freqs=s.num_freqs)
+            _, sigma = apply_tinynerf(params, x, s.model_cfg)
+            return jnp.mean(sigma)
+
+    elif model_kind == "nerf":
+        if nerf_cfg is None:
+            raise ValueError("model_kind='nerf' requires nerf_cfg")
+        from tinynerf_tpu.models.nerf import apply_nerf_mlp
+
+        def mean_sigma(params, pts):
+            x = positional_encoding(pts, num_freqs=nerf_cfg.num_freqs)
+            # The sigma head ignores view direction; a constant dir
+            # satisfies use_viewdirs and contributes no sigma gradient.
+            d = positional_encoding(
+                jnp.ones((pts.shape[0], 3), jnp.float32)
+                / jnp.sqrt(jnp.float32(3.0)),
+                num_freqs=nerf_cfg.num_freqs_dir,
+            )
+            total = 0.0
+            # params is a dict of MLPs ({'coarse','fine'} or {'fine'}):
+            # the prior applies to each — both densities render.
+            for name in sorted(params.keys()):
+                _, sigma = apply_nerf_mlp(params[name], x, d, nerf_cfg)
+                total = total + jnp.mean(sigma)
+            return total / len(params)
+
+    else:
+        raise ValueError(f"unknown model_kind={model_kind!r}")
+
+    lo, hi = aabb[0], aabb[1]
+
+    def grads_fn(params, key):
+        pts = lo + (hi - lo) * jax.random.uniform(
+            jax.random.fold_in(key, 0x5FA1), (n_points, 3), jnp.float32
+        )
+        return jax.grad(lambda p: lam * mean_sigma(p, pts))(params)
+
+    return grads_fn
+
+
+def add_grads(grads, extra):
+    """Leafwise grads + extra (same structure)."""
+    return jax.tree_util.tree_map(lambda a, b: a + b, grads, extra)

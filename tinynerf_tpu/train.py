@@ -207,6 +207,41 @@ def main(cfg: Config) -> dict:
             "composite to shard); it does support --data-parallel"
         )
 
+    extra_grad_fn = None
+    if cfg.sigma_sparsity > 0:
+        if cfg.data_parallel and not occupancy:
+            raise ValueError(
+                "--sigma-sparsity composes with the default, --fused-train, "
+                "and --proposal occupancy paths (incl. occupancy "
+                "--data-parallel); the sharded hierarchical block has no "
+                "regularizer hook yet — drop --data-parallel or use "
+                "--proposal occupancy"
+            )
+        from tinynerf_tpu.ops.regularizers import make_sparsity_grad_fn
+
+        if cfg.ndc:
+            from tinynerf_tpu.ops.occupancy import default_aabb
+
+            sparsity_aabb = default_aabb(1.0)  # the NDC cube
+        else:
+            from tinynerf_tpu.ops.occupancy import aabb_from_rays
+
+            sparsity_aabb = aabb_from_rays(
+                rays_o_full, rays_d_full, cfg.near, cfg.far
+            )
+        extra_grad_fn = make_sparsity_grad_fn(
+            settings,
+            cfg.model,
+            nerf_cfg=ncfg if cfg.model == "nerf" else None,
+            lam=cfg.sigma_sparsity,
+            n_points=cfg.sigma_sparsity_points,
+            aabb=sparsity_aabb,
+        )
+        print(
+            f"[train] free-space sparsity prior: lam={cfg.sigma_sparsity} "
+            f"over {cfg.sigma_sparsity_points} pts/step"
+        )
+
     grad_fn = None
     if cfg.fused_train and cfg.sample_parallel <= 1 and not occupancy:
         if cfg.model == "nerf":
@@ -252,7 +287,7 @@ def main(cfg: Config) -> dict:
             print("[train] occupancy proposal (grid rebuilt once per block)")
         train_block_factory = lambda n: make_occupancy_train_block(
             occ_settings, n, ncfg, fused=cfg.fused_train, aabb=occ_aabb,
-            mesh=occ_mesh,
+            mesh=occ_mesh, extra_grad_fn=extra_grad_fn,
         )
     elif cfg.data_parallel and jax.device_count() > 1:
         from tinynerf_tpu.parallel.mesh import make_mesh
@@ -276,7 +311,7 @@ def main(cfg: Config) -> dict:
             )
     else:
         train_block_factory = lambda n: make_train_block(
-            settings, n, loss=loss, grad_fn=grad_fn
+            settings, n, loss=loss, grad_fn=grad_fn, extra_grad_fn=extra_grad_fn
         )
 
     eff_near, eff_far = (0.0, 1.0) if cfg.ndc else (cfg.near, cfg.far)

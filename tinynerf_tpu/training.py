@@ -257,12 +257,15 @@ def draw_ray_batch(s, key, step, rays_o_all, rays_d_all, pixels):
 
 def _step_body(
     params, opt_state, key, step, rays_o_all, rays_d_all, pixels, s, opt, loss,
-    grad_fn=None,
+    grad_fn=None, extra_grad_fn=None,
 ):
     """One train step; step is a traced int32 scalar.
 
     grad_fn (params, ro, rd, target, key) -> (grads, metrics) replaces
     jax.grad of `loss` when given (e.g. the fused Pallas train kernel).
+    extra_grad_fn (params, key) -> grads is ADDED to the main gradient
+    (e.g. the free-space sparsity prior, ops/regularizers.py) — it
+    composes with any grad_fn, fused kernels included.
     """
     ro, rd, target, k_jitter = draw_ray_batch(
         s, key, step, rays_o_all, rays_d_all, pixels
@@ -274,6 +277,10 @@ def _step_body(
         grads, metrics = jax.grad(
             lambda p: loss(p, ro, rd, target, k_jitter, s, **nkw), has_aux=True
         )(params)
+    if extra_grad_fn is not None:
+        from tinynerf_tpu.ops.regularizers import add_grads
+
+        grads = add_grads(grads, extra_grad_fn(params, k_jitter))
     updates, opt_state = opt.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
     return params, opt_state, metrics
@@ -301,13 +308,15 @@ def make_train_step(s: TrainSettings, loss=None):
     return train_step
 
 
-def make_train_block(s: TrainSettings, block_size: int, loss=None, grad_fn=None):
+def make_train_block(
+    s: TrainSettings, block_size: int, loss=None, grad_fn=None, extra_grad_fn=None
+):
     """Jitted `lax.scan` over `block_size` consecutive steps.
 
     Returns fn(params, opt_state, key, step0, rays_o_all, rays_d_all,
     pixels) -> (params, opt_state, metrics-with-leading-block-axis).
     Pass grad_fn (see _step_body) to route gradients through the fused
-    Pallas train kernel.
+    Pallas train kernel; extra_grad_fn to add a regularizer gradient.
     """
     opt = settings_optimizer(s)
     loss = loss or loss_fn
@@ -318,7 +327,7 @@ def make_train_block(s: TrainSettings, block_size: int, loss=None, grad_fn=None)
             params, opt_state = carry
             params, opt_state, metrics = _step_body(
                 params, opt_state, key, step0 + i, rays_o_all, rays_d_all, pixels,
-                s, opt, loss, grad_fn,
+                s, opt, loss, grad_fn, extra_grad_fn,
             )
             return (params, opt_state), metrics
 
