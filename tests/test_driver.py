@@ -437,9 +437,13 @@ def test_sigma_sparsity_trains_all_paths(tiny_npz, tmp_path):
         res = train.main(cfg)
         assert np.isfinite(res["final_psnr"]), extra
 
-    cfg = _cfg(
-        tiny_npz, tmp_path, sigma_sparsity=1e-3, data_parallel=True,
-    )
+    # Sharded path: extra_grad_fn is added post-pmean from the shared
+    # key, so the sharded run stays replicated and trains finitely.
     if jax.device_count() > 1:
-        with pytest.raises(ValueError, match="sigma-sparsity"):
-            train.main(cfg)
+        cfg = _cfg(
+            tiny_npz, tmp_path, iters=20, sigma_sparsity=1e-3,
+            sigma_sparsity_points=128, data_parallel=True,
+            ckpt_path=str(tmp_path / "ck_dp.npz"),
+        )
+        res = train.main(cfg)
+        assert np.isfinite(res["final_psnr"])

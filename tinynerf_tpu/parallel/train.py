@@ -278,10 +278,13 @@ def make_sharded_train_block(
     nerf_cfg=None,
     n_fine: int = 64,
     fused_kernels: bool = False,
+    extra_grad_fn=None,
 ):
     """Jitted sharded K-step block with the same signature as
     training.make_train_block: (params, opt_state, key, step0,
     rays_o_all, rays_d_all, pixels) -> (params, opt_state, metrics).
+    extra_grad_fn (params, key) -> grads is added post-pmean (see
+    step_body) — e.g. the free-space sparsity prior.
 
     All arguments are replicated; parallelism comes from per-device ray
     draws + sample-block assignment and is closed by collectives, so
@@ -362,6 +365,15 @@ def make_sharded_train_block(
             grads = jax.lax.pmean(grads, SAMPLE_AXIS)
         grads = jax.lax.pmean(grads, DATA_AXIS)
         metrics = jax.lax.pmean(metrics, axes)
+        if extra_grad_fn is not None:
+            # Regularizer gradient AFTER the pmean, from the SHARED key
+            # (not the device-folded one): identical on every device,
+            # preserving the block's replicated-params contract.
+            from tinynerf_tpu.ops.regularizers import add_grads
+
+            grads = add_grads(
+                grads, extra_grad_fn(params, jax.random.fold_in(key, step))
+            )
 
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

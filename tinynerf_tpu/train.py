@@ -209,14 +209,6 @@ def main(cfg: Config) -> dict:
 
     extra_grad_fn = None
     if cfg.sigma_sparsity > 0:
-        if cfg.data_parallel and not occupancy:
-            raise ValueError(
-                "--sigma-sparsity composes with the default, --fused-train, "
-                "and --proposal occupancy paths (incl. occupancy "
-                "--data-parallel); the sharded hierarchical block has no "
-                "regularizer hook yet — drop --data-parallel or use "
-                "--proposal occupancy"
-            )
         from tinynerf_tpu.ops.regularizers import make_sparsity_grad_fn
 
         if cfg.ndc:
@@ -303,11 +295,12 @@ def main(cfg: Config) -> dict:
                 print("[train] fused block-partials kernels on the sample mesh")
             train_block_factory = lambda n: make_sharded_train_block(
                 settings, n, mesh, nerf_cfg=ncfg, n_fine=cfg.n_fine,
-                fused_kernels=cfg.fused_train,
+                fused_kernels=cfg.fused_train, extra_grad_fn=extra_grad_fn,
             )
         else:
             train_block_factory = lambda n: make_sharded_train_block(
-                settings, n, mesh, loss=loss, grad_fn=grad_fn
+                settings, n, mesh, loss=loss, grad_fn=grad_fn,
+                extra_grad_fn=extra_grad_fn,
             )
     else:
         train_block_factory = lambda n: make_train_block(
