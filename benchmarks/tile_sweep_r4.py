@@ -51,7 +51,14 @@ def main() -> None:
     tgt = jax.random.uniform(jax.random.fold_in(key, 2), (R, 3))
     params = init_tinynerf(jax.random.PRNGKey(0), settings.model_cfg)
 
-    out: dict = {"render_scan": {}, "train_step": {}}
+    # Stamp the backend so a CPU-smoke artifact can never be mistaken
+    # for chip data (a partial CPU run of this file was once committed
+    # as if it were a TPU sweep).
+    out: dict = {
+        "platform": jax.default_backend(),
+        "render_scan": {},
+        "train_step": {},
+    }
 
     # --- fused render, n_iters loop-carried invocations per dispatch ---
     for tr in tile_sizes:
