@@ -17,6 +17,10 @@ echo "[$(stamp)] stage 1b: tile-size sweep (MFU-lift experiment)"
 timeout 3600 python -u benchmarks/tile_sweep_r4.py > benchmarks/r4/tile_sweep.log 2>&1
 echo "tile_sweep rc=$? $(tail -n 1 benchmarks/r4/tile_sweep.log | head -c 300)"
 
+echo "[$(stamp)] stage 1c: peel-last-block A/B (streamed backward remat skip)"
+timeout 2400 python -u benchmarks/peel_ab_r4.py > benchmarks/r4/peel_ab.log 2>&1
+echo "peel_ab rc=$? $(tail -n 1 benchmarks/r4/peel_ab.log | head -c 300)"
+
 # Stage order = shortest-complete-artifact first: if the tunnel dies
 # again mid-campaign, the round keeps whole evidence items, not the
 # first half of one long one.

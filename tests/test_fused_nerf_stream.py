@@ -62,6 +62,7 @@ def _assert_close(ref, got, rtol=3e-4):
         )
 
 
+@pytest.mark.parametrize("peel", [False, True])
 @pytest.mark.parametrize(
     "R,S,tile_r,sb",
     [
@@ -70,17 +71,47 @@ def _assert_close(ref, got, rtol=3e-4):
         (16, 24, 16, 8),  # S not a power of two blocks (NB=3)
     ],
 )
-def test_streamed_grads_match_jax_grad(R, S, tile_r, sb):
+def test_streamed_grads_match_jax_grad(R, S, tile_r, sb, peel):
     mlp, ro, rd, target, z = _case(R=R, S=S)
     ref_l, ref_g = jax.value_and_grad(
         lambda m: _ref_loss(m, ro, rd, target, z, TINY)
     )(mlp)
     loss, grads = fused_nerf_pass_grads_streamed(
         mlp, ro, rd, target, z, cfg=TINY, tile_r=tile_r, sample_block=sb,
-        interpret=True,
+        interpret=True, peel_last_block=peel,
     )
     np.testing.assert_allclose(float(loss), float(ref_l), atol=1e-6)
     _assert_close(ref_g, grads)
+
+
+def test_peel_matches_unpeeled_to_ulp():
+    """peel_last_block skips a remat whose scratch contents are exactly
+    the forward's — same values through the same math, so gradients
+    must agree to ulp-level (the peeled straight-line block and the
+    loop body compile separately, so FMA fusion can differ by an ulp;
+    includes sigma noise so the noisy remat path is covered too)."""
+    mlp, ro, rd, target, z = _case(R=32, S=16, seed=3)
+    noise = jnp.asarray(
+        np.random.RandomState(5).randn(32, 16).astype(np.float32)
+    )
+    for sb in (4, 16):  # NB=4 and the NB=1 edge (whole backward peeled)
+        l0, g0 = fused_nerf_pass_grads_streamed(
+            mlp, ro, rd, target, z, sigma_noise=noise, cfg=TINY,
+            tile_r=16, sample_block=sb, interpret=True,
+            peel_last_block=False,
+        )
+        l1, g1 = fused_nerf_pass_grads_streamed(
+            mlp, ro, rd, target, z, sigma_noise=noise, cfg=TINY,
+            tile_r=16, sample_block=sb, interpret=True,
+            peel_last_block=True,
+        )
+        assert float(l0) == float(l1)  # loss is forward-only: identical
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-9
+            )
 
 
 def test_streamed_matches_monolithic_kernel():
@@ -113,7 +144,8 @@ def test_streamed_no_viewdirs():
     _assert_close(ref_g, grads)
 
 
-def test_hierarchical_grad_fn_with_streamed_fine():
+@pytest.mark.parametrize("peel", [False, True])
+def test_hierarchical_grad_fn_with_streamed_fine(peel):
     """make_fused_nerf_grad_fn(sample_block=...) routes the fine pass
     through the streamed kernel; parity vs jax.grad of the unfused
     hierarchical loss (deterministic depths)."""
@@ -142,7 +174,7 @@ def test_hierarchical_grad_fn_with_streamed_fine():
     ref_l, ref_g = jax.value_and_grad(ref)(params)
     grad_fn = make_fused_nerf_grad_fn(
         s, TINY, n_fine=n_fine, tile_r=32, randomized=False, interpret=True,
-        sample_block=4,
+        sample_block=4, peel_last_block=peel,
     )
     grads, metrics = grad_fn(params, ro, rd, target, jax.random.PRNGKey(0))
     np.testing.assert_allclose(

@@ -108,6 +108,7 @@ def _streamed_kernel(
     white_bkgd: bool,
     inv_n: float,
     compute_dtype,
+    peel: bool,
 ):
     acts_scr, enc_scr, tin_scr = args[-3:]
     args = args[:-3]
@@ -189,6 +190,29 @@ def _streamed_kernel(
             tl = prefix_product_exclusive(one_m, SB, TR)  # block-LOCAL
             return delta, sigma, g1, rgb, rgb_in_input, one_m, alpha, tl
 
+        def block_heads(b):
+            """Heads-only twin of block_forward for a block whose trunk
+            activations are ALREADY in scratch (the forward stream's
+            last block): reads enc_scr/acts_scr instead of re-running
+            encoding + trunk. Values are bit-identical — scratch holds
+            exactly what the forward wrote."""
+            zsl = pl.ds(pl.multiple_of(b * SB, SB), SB)
+            delta = dl_ref[zsl, sl].reshape(1, TRB)
+            h = act(n_layers)
+            sigma_raw = dense(h, I_SIG)
+            if has_noise:
+                sigma_raw = sigma_raw + noise_ref[zsl, sl].reshape(1, TRB)
+            sigma = jnp.maximum(sigma_raw, 0.0)
+            rgb_in_input = (
+                jnp.concatenate([h, enc_d_rep], axis=0) if use_viewdirs else h
+            )
+            g1 = jnp.maximum(dense(rgb_in_input, I_IN), 0.0).astype(compute_dtype)
+            rgb = jax.nn.sigmoid(dense(g1, I_RGB))
+            one_m = jnp.exp(-sigma * delta) + TRANS_EPS
+            alpha = 1.0 - (one_m - TRANS_EPS)
+            tl = prefix_product_exclusive(one_m, SB, TR)
+            return delta, sigma, g1, rgb, rgb_in_input, one_m, alpha, tl
+
         # ---- forward stream: carried (T_run, C, A) ----
         def fwd_body(b, carry):
             T_run, C, A = carry
@@ -223,10 +247,8 @@ def _streamed_kernel(
         )  # d loss / d acc, constant per ray
 
         # ---- backward stream (reverse block order) ----
-        def bwd_body(j, carry):
-            suf_carry, grads = carry
-            b = NB - 1 - j
-            delta, sigma, g1, rgb, rgb_in_input, one_m, alpha, tl = block_forward(b)
+        def bwd_step(b, vals, suf_carry, grads):
+            delta, sigma, g1, rgb, rgb_in_input, one_m, alpha, tl = vals
             T_in = tin_scr[pl.ds(b, 1)]  # (1, TR)
             trans = pltpu.repeat(T_in, SB, axis=1) * tl
             w = alpha * trans
@@ -279,8 +301,21 @@ def _streamed_kernel(
                 g = dbwd(g, i, h_in, keep_in=hidden if i == skip_at else None)
             return suf_carry, [a + n for a, n in zip(grads, new)]
 
+        def bwd_body(j, carry):
+            suf_carry, grads = carry
+            b = NB - 1 - j
+            return bwd_step(b, block_forward(b), suf_carry, grads)
+
+        suf0 = jnp.zeros((1, TR), f32)
+        if peel:
+            # The forward stream's LAST block (b = NB-1) is the FIRST
+            # block of the reverse walk, and its trunk activations are
+            # still live in scratch — peel it out of the loop and skip
+            # its encoding + trunk rematerialization (~1/NB of the remat
+            # cost; e.g. ~10% of total matmul work at NB=2).
+            suf0, grads = bwd_step(NB - 1, block_heads(NB - 1), suf0, grads)
         _, grads = jax.lax.fori_loop(
-            0, NB, bwd_body, (jnp.zeros((1, TR), f32), grads)
+            1 if peel else 0, NB, bwd_body, (suf0, grads)
         )
         return loss_acc + loss, grads
 
@@ -518,8 +553,15 @@ def fused_nerf_pass_grads_streamed(
     tile_r: int = DEFAULT_TILE_R,
     sample_block: int = DEFAULT_SAMPLE_BLOCK,
     interpret: Optional[bool] = None,
+    peel_last_block: bool = False,
 ):
     """One streamed fused fwd+bwd NeRF-MLP pass -> (loss, grads).
+
+    peel_last_block: skip the rematerialization of the reverse walk's
+    first block (its activations are still in VMEM scratch from the
+    forward stream) — value-identical gradients (to the ulp; the peeled
+    block compiles as straight-line code), ~1/(4*NB) less matmul work.
+    Off by default until validated on real hardware (Mosaic).
 
     sigma_noise (R, S)|None: pre-ReLU density noise (see
     models/nerf.apply_nerf_mlp); streamed block reads make the noisy
@@ -591,6 +633,7 @@ def fused_nerf_pass_grads_streamed(
         white_bkgd=white_bkgd,
         inv_n=1.0 / (R * 3),
         compute_dtype=cfg.compute_dtype,
+        peel=peel_last_block,
     )
 
     pts = R * S

@@ -469,6 +469,7 @@ def make_fused_nerf_grad_fn(
     randomized: Optional[bool] = None,
     interpret: Optional[bool] = None,
     sample_block: Optional[int] = None,
+    peel_last_block: bool = False,
 ):
     """Hierarchical (coarse+fine) fused gradient fn, drop-in for
     jax.grad of models/nerf.make_hierarchical_loss.
@@ -553,7 +554,7 @@ def make_fused_nerf_grad_fn(
                 params["fine"], ro, rd, target, z_union,
                 white_bkgd=s.white_bkgd, cfg=cfg, tile_r=tile_r,
                 sample_block=fine_block, interpret=interpret,
-                sigma_noise=noise_f,
+                sigma_noise=noise_f, peel_last_block=peel_last_block,
             )
         else:
             loss_f, g_f = fused_nerf_pass_grads(
