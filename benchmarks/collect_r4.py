@@ -91,6 +91,18 @@ def main() -> None:
     )
     table = {n: collect_run(n) for n in names}
     table = {n: r for n, r in table.items() if r}
+    # Kernel-experiment artifacts (campaign stages 1b/1c) ride along
+    # under underscore keys so the round's evidence is one file.
+    for key, path in (
+        ("_tile_sweep", f"{R4}/tile_sweep.json"),
+        ("_peel_ab", f"{R4}/peel_ab.json"),
+    ):
+        if os.path.exists(path):
+            try:
+                with open(path) as f:
+                    table[key] = json.load(f)
+            except json.JSONDecodeError:
+                pass  # mid-write or truncated: skip, don't crash collect
     with open(OUT, "w") as f:
         json.dump(table, f, indent=1, sort_keys=True)
     print(f"[collect] wrote {OUT}: {len(table)} runs -> {list(table)}")
