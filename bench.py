@@ -479,6 +479,24 @@ def _compiled_parity_gates(settings, cfg, ncfg, R=8192, Rg=2048, S=512,
     out["parity_grad_cos_nerf_stream_s512"] = round(cos, 6)
     out["parity_grad_maxrel_nerf_stream_s512"] = round(rel, 5)
 
+    # --- Peeled-backward variant (round 4, default-off): same oracle.
+    # Isolated try/except: this is the variant's FIRST Mosaic compile,
+    # and a failure here must report as its own key, not take down the
+    # long-validated gates above. parity_peel_ok gates the default flip
+    # (DESIGN.md 2d), NOT parity_ok.
+    try:
+        _, g_sp = jax.jit(lambda p: fused_nerf_pass_grads_streamed(
+            p["fine"], ro[:Rg], rd[:Rg], tgt[:Rg], z, cfg=ncfg,
+            sigma_noise=noise, sample_block=sample_block,
+            peel_last_block=True))(nparams)
+        cos, rel = _cos_and_rel(g_sx, g_sp)
+        out["parity_grad_cos_nerf_stream_peel_s512"] = round(cos, 6)
+        out["parity_grad_maxrel_nerf_stream_peel_s512"] = round(rel, 5)
+        out["parity_peel_ok"] = bool(cos > 0.98)
+    except Exception as e:  # noqa: BLE001 — Mosaic surprises expected
+        out["parity_peel_ok"] = False
+        out["parity_peel_error"] = f"{type(e).__name__}: {e}"[:300]
+
     # --- Block-partials kernel pair (the fused x sample-parallel seam,
     # kernels/fused_partials.py), compiled: one shard spanning the whole
     # sample axis == the full composite, so the same S=512 XLA twin is
