@@ -132,6 +132,38 @@ def _probe_backend(retries: int = 3, wait_s: float = 30.0,
     raise last
 
 
+def _wait_campaign_lock(
+    lock_path: str = "benchmarks/r4/CAMPAIGN_RUNNING",
+    wait_s: float | None = None,
+    poll_s: float = 30.0,
+) -> float:
+    """Advisory single-chip lock: the round-4 campaign (run_r4.sh)
+    touches lock_path while it owns the TPU; a driver-invoked bench
+    that starts mid-campaign waits (bounded) instead of contending for
+    the axon grant. The campaign's own bench stage skips this via
+    BENCH_SKIP_CAMPAIGN_LOCK=1. Returns seconds waited."""
+    if os.environ.get("BENCH_SKIP_CAMPAIGN_LOCK") == "1":
+        return 0.0
+    if wait_s is None:
+        wait_s = float(os.environ.get("BENCH_LOCK_WAIT_S", 5400))
+    t0 = time.time()
+    announced = False
+    while os.path.exists(lock_path) and time.time() - t0 < wait_s:
+        if not announced:
+            print(
+                f"[bench] campaign lock {lock_path} present; waiting up to "
+                f"{wait_s:.0f}s for the on-chip campaign to finish",
+                flush=True,
+            )
+            announced = True
+        time.sleep(poll_s)
+    waited = time.time() - t0
+    if announced:
+        state = "cleared" if not os.path.exists(lock_path) else "STILL HELD"
+        print(f"[bench] campaign lock {state} after {waited:.0f}s", flush=True)
+    return waited
+
+
 class _Sections:
     """Per-section failure isolation: a dead tunnel mid-run (or one
     kernel that won't compile) degrades the artifact instead of
@@ -580,6 +612,7 @@ def main() -> None:
     from tinynerf_tpu.utils.platform import honor_platform_env
 
     honor_platform_env()
+    _wait_campaign_lock()
 
     # Backend init is the one section whose failure previously killed
     # the whole artifact (BENCH_r03.json rc:1 during the tunnel outage).

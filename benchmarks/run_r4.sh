@@ -9,8 +9,14 @@ set -u
 mkdir -p benchmarks/r4
 stamp() { date -u +%FT%TZ; }
 
+# Advisory single-chip lock: a driver-invoked bench.py that starts
+# mid-campaign waits on this flag instead of contending for the axon
+# grant (bench.py::_wait_campaign_lock). Cleared on ANY exit.
+touch benchmarks/r4/CAMPAIGN_RUNNING
+trap 'rm -f benchmarks/r4/CAMPAIGN_RUNNING' EXIT
+
 echo "[$(stamp)] stage 1: bench (parity gates, throughput, MFU)"
-timeout 5400 python -u bench.py > benchmarks/r4/bench.log 2>&1
+BENCH_SKIP_CAMPAIGN_LOCK=1 timeout 5400 python -u bench.py > benchmarks/r4/bench.log 2>&1
 echo "bench rc=$? $(tail -c 300 benchmarks/r4/bench.log | head -c 300)"
 
 echo "[$(stamp)] stage 1b: tile-size sweep (MFU-lift experiment)"

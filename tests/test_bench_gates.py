@@ -47,6 +47,41 @@ def test_compiled_parity_gates_cpu_smoke():
     # gates must pass comfortably — a failure here is a harness bug or
     # a genuine kernel-semantics drift, both of which CI should catch.
     assert out["parity_ok"] is True, out
+    # The peeled-variant gate (round 4) rides the same oracle and must
+    # also pass on CPU; its failure mode is isolated from parity_ok.
+    assert out["parity_peel_ok"] is True, out
+
+
+def test_wait_campaign_lock(tmp_path, monkeypatch):
+    """bench waits while the campaign lock exists, proceeds when it
+    clears, and gives up (but proceeds) at the bound; the campaign's
+    own bench stage skips via env."""
+    import threading
+    import time as _time
+
+    sys.path.insert(0, ".")
+    from bench import _wait_campaign_lock
+
+    lock = tmp_path / "CAMPAIGN_RUNNING"
+
+    # No lock: returns immediately.
+    assert _wait_campaign_lock(str(lock), wait_s=5, poll_s=0.05) < 1
+
+    # Lock present, removed by "the campaign" shortly: wait ends early.
+    lock.touch()
+    threading.Timer(0.3, lock.unlink).start()
+    waited = _wait_campaign_lock(str(lock), wait_s=30, poll_s=0.05)
+    assert 0.2 < waited < 5
+
+    # Lock never clears: bounded give-up, still returns (bench runs).
+    lock.touch()
+    t0 = _time.time()
+    _wait_campaign_lock(str(lock), wait_s=0.3, poll_s=0.05)
+    assert _time.time() - t0 < 5
+
+    # Campaign's own bench invocation skips the wait entirely.
+    monkeypatch.setenv("BENCH_SKIP_CAMPAIGN_LOCK", "1")
+    assert _wait_campaign_lock(str(lock), wait_s=30, poll_s=0.05) == 0.0
 
 
 def test_bench_degrades_to_artifact_on_backend_failure(monkeypatch, capsys):
