@@ -8,6 +8,12 @@ set -u
 mkdir -p benchmarks/r4 outputs/r4
 
 name=h256_pool_decay80k
+# Restart-safe: skip if the all-views metrics already landed.
+if [ -s "benchmarks/r4/${name}_allviews/metrics.json" ]; then
+  echo "=== $name: already complete (metrics.json exists), skipping ==="
+  echo FLAGSHIP80K_DONE
+  exit 0
+fi
 echo "=== $name: train ==="
 timeout 7200 python -u -m tinynerf_tpu.train \
     --model nerf --fused-train --holdout 4 --eval-every 4000 \

@@ -17,6 +17,11 @@ fi
 
 run_leg () {
   local name=$1; shift
+  # Restart-safe: a leg whose all-views metrics already landed is done.
+  if [ -s "benchmarks/r4/${name}_allviews/metrics.json" ]; then
+    echo "=== $name: already complete (metrics.json exists), skipping ==="
+    return 0
+  fi
   echo "=== $name: train ==="
   timeout 3600 python -u -m tinynerf_tpu.train \
       --data-path data/hard_scene.npz --no-allow-synthetic \

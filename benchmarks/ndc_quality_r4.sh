@@ -14,6 +14,12 @@ if [ ! -f data/ff_scene.npz ]; then
 fi
 
 name=ndc20k
+# Restart-safe: skip if the all-views metrics already landed.
+if [ -s "benchmarks/r4/${name}_allviews/metrics.json" ]; then
+  echo "=== $name: already complete (metrics.json exists), skipping ==="
+  echo NDC_DONE
+  exit 0
+fi
 echo "=== $name: train ==="
 timeout 3600 python -u -m tinynerf_tpu.train \
     --data-path data/ff_scene.npz --no-allow-synthetic --ndc \

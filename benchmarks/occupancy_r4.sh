@@ -10,6 +10,11 @@ mkdir -p benchmarks/r4 outputs/r4
 
 run_leg () {
   local name=$1; shift
+  # Restart-safe: a leg whose all-views metrics already landed is done.
+  if [ -s "benchmarks/r4/${name}_allviews/metrics.json" ]; then
+    echo "=== $name: already complete (metrics.json exists), skipping ==="
+    return 0
+  fi
   echo "=== $name: train ==="
   timeout 3600 python -u -m tinynerf_tpu.train \
       --model nerf --fused-train --holdout 4 \

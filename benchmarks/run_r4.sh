@@ -15,17 +15,34 @@ stamp() { date -u +%FT%TZ; }
 touch benchmarks/r4/CAMPAIGN_RUNNING
 trap 'rm -f benchmarks/r4/CAMPAIGN_RUNNING' EXIT
 
+# Every stage is restart-safe: a re-launched campaign (after a tunnel
+# death mid-run) skips stages whose ON-CHIP artifact already landed
+# instead of redoing hours of work. CPU-smoke/degraded artifacts do
+# not count as done (platform stamps / degraded flag checked).
 echo "[$(stamp)] stage 1: bench (parity gates, throughput, MFU)"
-BENCH_SKIP_CAMPAIGN_LOCK=1 timeout 5400 python -u bench.py > benchmarks/r4/bench.log 2>&1
-echo "bench rc=$? $(tail -c 300 benchmarks/r4/bench.log | head -c 300)"
+if grep -aq '"metric"' benchmarks/r4/bench.log 2>/dev/null \
+    && ! grep -aq '"degraded": true' benchmarks/r4/bench.log 2>/dev/null; then
+  echo "bench already complete (non-degraded artifact in bench.log), skipping"
+else
+  BENCH_SKIP_CAMPAIGN_LOCK=1 timeout 5400 python -u bench.py > benchmarks/r4/bench.log 2>&1
+  echo "bench rc=$? $(tail -c 300 benchmarks/r4/bench.log | head -c 300)"
+fi
 
 echo "[$(stamp)] stage 1b: tile-size sweep (MFU-lift experiment)"
-timeout 3600 python -u benchmarks/tile_sweep_r4.py > benchmarks/r4/tile_sweep.log 2>&1
-echo "tile_sweep rc=$? $(tail -n 1 benchmarks/r4/tile_sweep.log | head -c 300)"
+if grep -aq '"platform": "tpu"' benchmarks/r4/tile_sweep.json 2>/dev/null; then
+  echo "tile_sweep already complete (TPU artifact), skipping"
+else
+  timeout 3600 python -u benchmarks/tile_sweep_r4.py > benchmarks/r4/tile_sweep.log 2>&1
+  echo "tile_sweep rc=$? $(tail -n 1 benchmarks/r4/tile_sweep.log | head -c 300)"
+fi
 
 echo "[$(stamp)] stage 1c: peel-last-block A/B (streamed backward remat skip)"
-timeout 2400 python -u benchmarks/peel_ab_r4.py > benchmarks/r4/peel_ab.log 2>&1
-echo "peel_ab rc=$? $(tail -n 1 benchmarks/r4/peel_ab.log | head -c 300)"
+if grep -aq '"platform": "tpu"' benchmarks/r4/peel_ab.json 2>/dev/null; then
+  echo "peel_ab already complete (TPU artifact), skipping"
+else
+  timeout 2400 python -u benchmarks/peel_ab_r4.py > benchmarks/r4/peel_ab.log 2>&1
+  echo "peel_ab rc=$? $(tail -n 1 benchmarks/r4/peel_ab.log | head -c 300)"
+fi
 
 # Stage order = shortest-complete-artifact first: if the tunnel dies
 # again mid-campaign, the round keeps whole evidence items, not the
