@@ -52,11 +52,11 @@ exec "$@"
 """
 
 
-@pytest.fixture(scope="module")
-def recorded_commands(tmp_path_factory):
+def capture_campaign_commands(tmp):
     """Run every campaign script with stubbed python/timeout; return
-    {script: [argv, ...]} of recorded python invocations."""
-    tmp = tmp_path_factory.mktemp("campaign")
+    {script: [argv, ...]} of recorded python invocations. Shared with
+    test_campaign_rehearsal.py (which re-runs the captured train legs
+    at micro scale)."""
     stub_bin = tmp / "bin"
     stub_bin.mkdir()
     (stub_bin / "python").write_text(
@@ -102,6 +102,11 @@ def recorded_commands(tmp_path_factory):
         )
         out[script] = [json.loads(ln) for ln in lines]
     return out
+
+
+@pytest.fixture(scope="module")
+def recorded_commands(tmp_path_factory):
+    return capture_campaign_commands(tmp_path_factory.mktemp("campaign"))
 
 
 def _classify(argv):
