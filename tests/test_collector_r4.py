@@ -1,0 +1,110 @@
+"""Round-trip test for the round-4 evidence collector.
+
+benchmarks/collect_r4.py assembles benchmarks/quality_r4.json — the
+file the round's quality claims are judged from — by parsing (a) the
+train metrics JSONL schema, (b) the train driver's closing log lines
+via regex, and (c) the eval CLI's metrics.json. Each of those is an
+implicit contract with tinynerf_tpu.train/eval that nothing else
+checks: a drifted print format or JSONL key would make a completed
+multi-hour campaign collect into an EMPTY quality table.
+
+This test produces a real micro campaign leg exactly as the campaign
+does (subprocess `python -m tinynerf_tpu.train ... > log`, then the
+eval CLI), points the collector at it, and asserts every field the
+round-4 analysis relies on is present.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def micro_leg(tmp_path_factory):
+    """Run one micro leg (train + all-views eval) with the campaign's
+    invocation style: subprocess CLI, stdout redirected to the log."""
+    from tinynerf_tpu.synthetic import generate_synthetic_dataset
+
+    tmp = tmp_path_factory.mktemp("collect")
+    d = generate_synthetic_dataset(n_poses=6, h=24, w=24, seed=5)
+    npz = str(tmp / "orbit.npz")
+    np.savez(npz, images=d["images"], poses=d["poses"], focal=d["focal"])
+
+    r4 = tmp / "r4"
+    r4.mkdir()
+    name = "emamicro"
+    train_cmd = [
+        sys.executable, "-u", "-m", "tinynerf_tpu.train",
+        "--data-path", npz, "--no-allow-synthetic",
+        "--holdout", "2", "--eval-every", "8", "--ema-decay", "0.9",
+        "--iters", "16", "--n-rand", "64", "--n-samples", "8",
+        "--hidden", "16", "--num-freqs", "4", "--chunk", "128",
+        "--log-every", "8", "--preview-every", "1000",
+        "--ckpt-every", "16", "--no-bf16", "--no-resume",
+        "--ckpt-path", str(tmp / "ck.npz"), "--out-dir", str(tmp / "out"),
+        "--metrics-path", str(r4 / f"{name}_train.jsonl"),
+    ]
+    with open(r4 / f"{name}_train.log", "w") as log:
+        subprocess.run(
+            train_cmd, cwd=REPO, stdout=log, stderr=subprocess.STDOUT,
+            check=True, timeout=600,
+        )
+    allviews = r4 / f"{name}_allviews"
+    eval_cmd = [
+        sys.executable, "-u", "-m", "tinynerf_tpu.eval",
+        "--data-path", npz, "--no-allow-synthetic",
+        "--ckpt-path", str(tmp / "ck.npz"), "--views", "0",
+        "--out-dir", str(allviews), "--no-save-images",
+        "--n-samples", "8", "--chunk", "128",
+    ]
+    subprocess.run(
+        eval_cmd, cwd=REPO, capture_output=True, check=True, timeout=600
+    )
+    return str(r4), name
+
+
+def _load_collector():
+    spec = importlib.util.spec_from_file_location(
+        "collect_r4", os.path.join(REPO, "benchmarks", "collect_r4.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_collector_assembles_full_row(micro_leg, tmp_path, monkeypatch):
+    r4, name = micro_leg
+    mod = _load_collector()
+    out = str(tmp_path / "quality.json")
+    monkeypatch.setattr(mod, "R4", r4)
+    monkeypatch.setattr(mod, "OUT", out)
+    mod.main()
+
+    table = json.load(open(out))
+    assert name in table, table
+    run = table[name]
+    # The JSONL contract: train curve tail + held-out curve (raw AND
+    # EMA) + the final held-out eval row.
+    assert run["steps"] == 16
+    assert np.isfinite(run["train_psnr_final"])
+    assert [c["step"] for c in run["heldout_curve"]] == [8, 16]
+    assert all(np.isfinite(c["psnr"]) for c in run["heldout_curve"])
+    assert len(run["heldout_ema_curve"]) == 2
+    assert np.isfinite(run["heldout_final"]["psnr_mean"])
+    assert np.isfinite(run["heldout_final_ema"]["psnr_mean"])
+    # The log-regex contract: the driver's closing "[done] ... (train
+    # loop Xs, N rays/s)" line still matches the collector's patterns.
+    assert run["train_rays_per_sec"] > 0
+    assert run["wall_min"] > 0
+    # The eval CLI contract: all-view metrics fields.
+    assert np.isfinite(run["allviews"]["psnr_mean"])
+    assert np.isfinite(run["allviews"]["ssim_mean"])
