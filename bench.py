@@ -30,6 +30,15 @@ if __name__ == "__main__" and os.environ.get("TINYNERF_BENCH_CHILD") != "1":
     import subprocess
 
     deadline = float(os.environ.get("BENCH_TOTAL_DEADLINE_S", 4800))
+    # A driver-invoked bench that lands mid-campaign first waits on the
+    # advisory chip lock (main's _wait_campaign_lock, up to
+    # BENCH_LOCK_WAIT_S) — extend the kill deadline by that much, or
+    # the launcher would SIGKILL the child while it is politely queuing
+    # and misreport the wait as a backend hang.
+    if os.path.exists("benchmarks/r4/CAMPAIGN_RUNNING") and (
+        os.environ.get("BENCH_SKIP_CAMPAIGN_LOCK") != "1"
+    ):
+        deadline += float(os.environ.get("BENCH_LOCK_WAIT_S", 5400))
     env = dict(os.environ, TINYNERF_BENCH_CHILD="1")
     child = subprocess.Popen(
         [sys.executable, "-u", os.path.abspath(__file__)],
@@ -76,6 +85,12 @@ if __name__ == "__main__" and os.environ.get("TINYNERF_BENCH_CHILD") != "1":
                 }
             )
         )
+    # The child writes DRIVER_BENCH_RUNNING while it owns the chip; if
+    # it was killed (deadline, watchdog os._exit) its finally never ran.
+    try:
+        os.remove("benchmarks/r4/DRIVER_BENCH_RUNNING")
+    except OSError:
+        pass
     sys.exit(0)
 
 import jax
@@ -132,23 +147,53 @@ def _probe_backend(retries: int = 3, wait_s: float = 30.0,
     raise last
 
 
+def _lock_is_stale(lock_path: str) -> bool:
+    """A lock file whose recorded pid is dead is leftover from a killed
+    holder (hard kill skips the shell trap / finally). Empty or
+    unreadable content is treated as live — can't verify, so honor it."""
+    try:
+        txt = open(lock_path).read().strip()
+        pid = int(txt) if txt else None
+    except (OSError, ValueError):
+        return False
+    if pid is None:
+        return False
+    try:
+        os.kill(pid, 0)
+        return False
+    except ProcessLookupError:
+        return True
+    except PermissionError:
+        return False
+
+
 def _wait_campaign_lock(
     lock_path: str = "benchmarks/r4/CAMPAIGN_RUNNING",
     wait_s: float | None = None,
     poll_s: float = 30.0,
-) -> float:
+) -> tuple[float, bool]:
     """Advisory single-chip lock: the round-4 campaign (run_r4.sh)
-    touches lock_path while it owns the TPU; a driver-invoked bench
-    that starts mid-campaign waits (bounded) instead of contending for
-    the axon grant. The campaign's own bench stage skips this via
-    BENCH_SKIP_CAMPAIGN_LOCK=1. Returns seconds waited."""
+    writes its pid to lock_path while it owns the TPU; a driver-invoked
+    bench that starts mid-campaign waits (bounded) instead of
+    contending for the axon grant. The campaign's own bench stage skips
+    this via BENCH_SKIP_CAMPAIGN_LOCK=1. Returns (seconds waited,
+    lock-still-held) — the caller decides what a held lock means (reuse
+    the campaign's own bench artifact rather than contend; see main)."""
     if os.environ.get("BENCH_SKIP_CAMPAIGN_LOCK") == "1":
-        return 0.0
+        return 0.0, False
     if wait_s is None:
         wait_s = float(os.environ.get("BENCH_LOCK_WAIT_S", 5400))
     t0 = time.time()
     announced = False
     while os.path.exists(lock_path) and time.time() - t0 < wait_s:
+        if _lock_is_stale(lock_path):
+            print(f"[bench] campaign lock {lock_path} is stale (holder "
+                  "dead); clearing", flush=True)
+            try:
+                os.remove(lock_path)
+            except OSError:
+                pass
+            break
         if not announced:
             print(
                 f"[bench] campaign lock {lock_path} present; waiting up to "
@@ -158,10 +203,48 @@ def _wait_campaign_lock(
             announced = True
         time.sleep(poll_s)
     waited = time.time() - t0
+    still_held = os.path.exists(lock_path) and not _lock_is_stale(lock_path)
     if announced:
-        state = "cleared" if not os.path.exists(lock_path) else "STILL HELD"
+        state = "STILL HELD" if still_held else "cleared"
         print(f"[bench] campaign lock {state} after {waited:.0f}s", flush=True)
-    return waited
+    return waited, still_held
+
+
+def _reuse_campaign_bench_artifact(
+    log_path: str = "benchmarks/r4/bench.log",
+) -> dict | None:
+    """The campaign's stage-1 bench writes the SAME artifact format to
+    log_path (same code, same chip, same round). When the campaign
+    still holds the chip after the bounded lock wait, replaying that
+    artifact — with explicit provenance — beats both contending for the
+    grant (wedges the chip) and shipping a null degraded artifact.
+    Returns the artifact dict to emit, or None if no non-degraded
+    artifact exists in the log."""
+    try:
+        lines = [
+            ln for ln in open(log_path, errors="replace")
+            if ln.startswith('{"metric"')
+        ]
+    except OSError:
+        return None
+    if not lines:
+        return None
+    try:
+        art = json.loads(lines[-1])
+    except json.JSONDecodeError:
+        return None
+    extras = art.get("extras") or {}
+    if extras.get("degraded") or art.get("value") is None:
+        return None
+    extras["reused_from_campaign_stage"] = True
+    extras["provenance"] = (
+        f"replayed from {log_path}: the on-chip campaign held the "
+        "single-chip lock past the bench's bounded wait; this artifact "
+        "is the campaign's own stage-1 bench of the same code on the "
+        "same chip this round"
+    )
+    art["extras"] = extras
+    return art
 
 
 class _Sections:
@@ -612,8 +695,51 @@ def main() -> None:
     from tinynerf_tpu.utils.platform import honor_platform_env
 
     honor_platform_env()
-    _wait_campaign_lock()
+    _, lock_held = _wait_campaign_lock()
+    if lock_held:
+        # The campaign owns the chip. Contending for the axon grant
+        # wedges both runs — replay the campaign's own stage-1 bench
+        # artifact (provenance-stamped) if one landed, else ship an
+        # honest degraded artifact.
+        art = _reuse_campaign_bench_artifact()
+        if art is not None:
+            secs.emitted = True
+            print(json.dumps(art))
+            return
+        secs.degraded = True
+        secs.status["campaign_lock"] = (
+            "held past the bounded wait; no reusable stage artifact"
+        )
+        emit(None, None, {"error": "on-chip campaign holds the chip; "
+                                   "refused to contend for the grant"})
+        return
 
+    # Mirror lock for the reverse race: the campaign supervisor could
+    # otherwise start its queue while this driver-invoked bench owns
+    # the chip (run_r4.sh waits on this file). Written only by the
+    # launcher-spawned child of a non-campaign invocation — in-process
+    # callers (tests) must not block a live campaign on a pytest pid;
+    # the launcher also cleans it up if this process is killed.
+    driver_lock = None
+    if (
+        os.environ.get("BENCH_SKIP_CAMPAIGN_LOCK") != "1"
+        and os.environ.get("TINYNERF_BENCH_CHILD") == "1"
+    ):
+        driver_lock = "benchmarks/r4/DRIVER_BENCH_RUNNING"
+        os.makedirs("benchmarks/r4", exist_ok=True)
+        with open(driver_lock, "w") as f:
+            f.write(str(os.getpid()))
+    try:
+        _main_measurements(secs, emit)
+    finally:
+        if driver_lock is not None:
+            try:
+                os.remove(driver_lock)
+            except OSError:
+                pass
+
+
+def _main_measurements(secs: _Sections, emit) -> None:
     # Backend init is the one section whose failure previously killed
     # the whole artifact (BENCH_r03.json rc:1 during the tunnel outage).
     # Retry it; on final failure emit a degraded-but-valid artifact.

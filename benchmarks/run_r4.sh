@@ -9,10 +9,30 @@ set -u
 mkdir -p benchmarks/r4
 stamp() { date -u +%FT%TZ; }
 
+# Mirror lock, reverse race: a driver-invoked bench.py may already own
+# the chip when the supervisor starts this campaign (round-end capture
+# racing a late tunnel return). Wait it out — bounded, with a
+# dead-holder staleness check (a hard-killed bench skips its cleanup).
+waited=0
+while [ -f benchmarks/r4/DRIVER_BENCH_RUNNING ] && [ "$waited" -lt 7200 ]; do
+  bench_pid=$(cat benchmarks/r4/DRIVER_BENCH_RUNNING 2>/dev/null)
+  if [ -z "$bench_pid" ] || ! kill -0 "$bench_pid" 2>/dev/null; then
+    echo "[$(stamp)] stale DRIVER_BENCH_RUNNING (pid ${bench_pid:-?} dead); clearing"
+    rm -f benchmarks/r4/DRIVER_BENCH_RUNNING
+    break
+  fi
+  [ "$waited" -eq 0 ] && echo "[$(stamp)] driver bench owns the chip (pid $bench_pid); waiting"
+  sleep 30
+  waited=$((waited + 30))
+done
+
 # Advisory single-chip lock: a driver-invoked bench.py that starts
 # mid-campaign waits on this flag instead of contending for the axon
-# grant (bench.py::_wait_campaign_lock). Cleared on ANY exit.
-touch benchmarks/r4/CAMPAIGN_RUNNING
+# grant (bench.py::_wait_campaign_lock); if it is still held when that
+# wait expires, bench replays this campaign's own stage-1 artifact
+# with provenance instead of contending. The recorded pid lets waiters
+# detect a hard-killed campaign (trap skipped). Cleared on ANY exit.
+echo $$ > benchmarks/r4/CAMPAIGN_RUNNING
 trap 'rm -f benchmarks/r4/CAMPAIGN_RUNNING' EXIT
 
 # Every stage is restart-safe: a re-launched campaign (after a tunnel

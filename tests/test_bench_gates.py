@@ -64,24 +64,112 @@ def test_wait_campaign_lock(tmp_path, monkeypatch):
 
     lock = tmp_path / "CAMPAIGN_RUNNING"
 
-    # No lock: returns immediately.
-    assert _wait_campaign_lock(str(lock), wait_s=5, poll_s=0.05) < 1
+    # No lock: returns immediately, not held.
+    waited, held = _wait_campaign_lock(str(lock), wait_s=5, poll_s=0.05)
+    assert waited < 1 and not held
 
     # Lock present, removed by "the campaign" shortly: wait ends early.
     lock.touch()
     threading.Timer(0.3, lock.unlink).start()
-    waited = _wait_campaign_lock(str(lock), wait_s=30, poll_s=0.05)
-    assert 0.2 < waited < 5
+    waited, held = _wait_campaign_lock(str(lock), wait_s=30, poll_s=0.05)
+    assert 0.2 < waited < 5 and not held
 
-    # Lock never clears: bounded give-up, still returns (bench runs).
+    # Lock never clears: bounded give-up, reported as still held.
     lock.touch()
     t0 = _time.time()
-    _wait_campaign_lock(str(lock), wait_s=0.3, poll_s=0.05)
-    assert _time.time() - t0 < 5
+    _, held = _wait_campaign_lock(str(lock), wait_s=0.3, poll_s=0.05)
+    assert _time.time() - t0 < 5 and held
+
+    # Stale lock (recorded holder pid is dead): cleared, not held.
+    # A spawned-and-reaped child's pid is certainly dead.
+    import subprocess
+
+    child = subprocess.Popen(["true"])
+    child.wait()
+    lock.write_text(str(child.pid))
+    waited, held = _wait_campaign_lock(str(lock), wait_s=30, poll_s=0.05)
+    assert waited < 5 and not held
+    assert not lock.exists()
 
     # Campaign's own bench invocation skips the wait entirely.
+    lock.touch()
     monkeypatch.setenv("BENCH_SKIP_CAMPAIGN_LOCK", "1")
-    assert _wait_campaign_lock(str(lock), wait_s=30, poll_s=0.05) == 0.0
+    assert _wait_campaign_lock(str(lock), wait_s=30, poll_s=0.05) == (0.0, False)
+
+
+def test_reuse_campaign_bench_artifact(tmp_path):
+    """When the campaign holds the chip past the bounded wait, the
+    driver bench replays the campaign's own stage-1 artifact (same
+    code/chip/round) with provenance — or declines if none landed."""
+    import json
+
+    sys.path.insert(0, ".")
+    from bench import _reuse_campaign_bench_artifact
+
+    log = tmp_path / "bench.log"
+
+    # No log / no artifact line / degraded artifact -> None.
+    assert _reuse_campaign_bench_artifact(str(log)) is None
+    log.write_text("some\nnoise\n")
+    assert _reuse_campaign_bench_artifact(str(log)) is None
+    log.write_text(
+        '{"metric": "train_rays_per_sec_per_chip", "value": null, '
+        '"extras": {"degraded": true}}\n'
+    )
+    assert _reuse_campaign_bench_artifact(str(log)) is None
+
+    # Healthy artifact -> replayed with provenance stamped.
+    art = {
+        "metric": "train_rays_per_sec_per_chip",
+        "value": 3123456.0,
+        "unit": "rays/s",
+        "vs_baseline": 880.1,
+        "extras": {"degraded": False, "parity_ok": True},
+    }
+    log.write_text("[bench] noise\n" + json.dumps(art) + "\n")
+    out = _reuse_campaign_bench_artifact(str(log))
+    assert out is not None
+    assert out["value"] == 3123456.0
+    assert out["extras"]["reused_from_campaign_stage"] is True
+    assert "provenance" in out["extras"]
+    assert out["extras"]["parity_ok"] is True
+
+
+def test_bench_main_replays_campaign_artifact_when_lock_held(
+    monkeypatch, capsys, tmp_path
+):
+    """main() with the campaign lock still held: emits the replayed
+    stage artifact (never contends for the grant), or an honest
+    degraded artifact when no stage artifact exists."""
+    import json
+
+    sys.path.insert(0, ".")
+    import bench
+
+    monkeypatch.setattr(bench, "_wait_campaign_lock", lambda: (1.0, True))
+
+    # No reusable stage artifact -> degraded, refused to contend.
+    monkeypatch.setattr(bench, "_reuse_campaign_bench_artifact", lambda: None)
+    bench.main()
+    art = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert art["value"] is None
+    assert art["extras"]["degraded"] is True
+    assert "refused to contend" in art["extras"]["error"]
+    assert "campaign_lock" in art["extras"]["sections"]
+
+    # Reusable artifact -> replayed verbatim.
+    replay = {
+        "metric": "train_rays_per_sec_per_chip",
+        "value": 99.0,
+        "extras": {"reused_from_campaign_stage": True, "provenance": "x"},
+    }
+    monkeypatch.setattr(
+        bench, "_reuse_campaign_bench_artifact", lambda: dict(replay)
+    )
+    bench.main()
+    art = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert art["value"] == 99.0
+    assert art["extras"]["reused_from_campaign_stage"] is True
 
 
 def test_bench_degrades_to_artifact_on_backend_failure(monkeypatch, capsys):

@@ -37,8 +37,12 @@ CAMPAIGN_SCRIPTS = [
 
 PYTHON_STUB = """#!/usr/bin/env bash
 # Records argv as a JSON line and exits 0 (no training in tests).
+# -S skips site initialization: the sandbox's sitecustomize pre-imports
+# jax (axon plugin discovery, seconds per process — minutes across the
+# ~40 recorded commands when the tunnel is flaky); the recorder only
+# needs the stdlib.
 real_python=%(real_python)s
-"$real_python" - "$@" <<'EOF'
+"$real_python" -S - "$@" <<'EOF'
 import json, os, sys
 with open(os.environ["ARGV_LOG"], "a") as f:
     f.write(json.dumps(sys.argv[1:]) + "\\n")
@@ -91,7 +95,7 @@ def capture_campaign_commands(tmp):
             env=env,
             capture_output=True,
             text=True,
-            timeout=120,
+            timeout=300,
         )
         assert proc.returncode == 0, (
             f"{script} exited rc={proc.returncode}\n"
