@@ -748,6 +748,19 @@ def _main_measurements(secs: _Sections, emit) -> None:
     except Exception as e:  # noqa: BLE001
         secs.status["backend_init"] = f"error: {type(e).__name__}: {e}"[:300]
         secs.degraded = True
+        # Tunnel down at capture time — but if the on-chip campaign
+        # completed its own bench stage earlier THIS round (same code,
+        # same chip), that artifact is strictly better evidence than a
+        # null: replay it, keeping the backend error in the extras so
+        # the provenance is unambiguous.
+        art = _reuse_campaign_bench_artifact()
+        if art is not None:
+            art["extras"]["backend_init_at_capture"] = secs.status[
+                "backend_init"
+            ]
+            secs.emitted = True
+            print(json.dumps(art))
+            return
         emit(None, None, {"error": "backend init failed after retries"})
         return
     secs.status["backend_init"] = "ok"

@@ -135,6 +135,41 @@ def test_reuse_campaign_bench_artifact(tmp_path):
     assert out["extras"]["parity_ok"] is True
 
 
+def test_bench_replays_campaign_artifact_when_tunnel_dies_after_campaign(
+    monkeypatch, capsys
+):
+    """Tunnel up mid-round (campaign bench lands on chip), tunnel dead
+    at the driver's round-end capture: bench must replay the same-round
+    on-chip artifact (with the backend error recorded) instead of
+    shipping a null."""
+    import json
+
+    sys.path.insert(0, ".")
+    import bench
+
+    monkeypatch.setattr(bench, "_wait_campaign_lock", lambda: (0.0, False))
+
+    def dead_probe():
+        raise TimeoutError("backend init hung > 420s (tunnel down?)")
+
+    monkeypatch.setattr(bench, "_probe_backend", dead_probe)
+    replay = {
+        "metric": "train_rays_per_sec_per_chip",
+        "value": 3100000.0,
+        "extras": {"degraded": False, "parity_ok": True},
+    }
+    monkeypatch.setattr(
+        bench, "_reuse_campaign_bench_artifact", lambda: dict(
+            replay, extras=dict(replay["extras"])
+        )
+    )
+    bench.main()
+    art = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert art["value"] == 3100000.0
+    assert "backend_init_at_capture" in art["extras"]
+    assert art["extras"]["backend_init_at_capture"].startswith("error:")
+
+
 def test_bench_main_replays_campaign_artifact_when_lock_held(
     monkeypatch, capsys, tmp_path
 ):
@@ -187,6 +222,8 @@ def test_bench_degrades_to_artifact_on_backend_failure(monkeypatch, capsys):
 
     monkeypatch.setattr(bench.jax, "devices", dead_devices)
     monkeypatch.setattr(bench, "_probe_backend", lambda: bench.jax.devices())
+    # No campaign artifact to fall back on in this scenario.
+    monkeypatch.setattr(bench, "_reuse_campaign_bench_artifact", lambda: None)
     bench.main()
     line = capsys.readouterr().out.strip().splitlines()[-1]
     art = json.loads(line)
