@@ -108,3 +108,8 @@ def test_collector_assembles_full_row(micro_leg, tmp_path, monkeypatch):
     # The eval CLI contract: all-view metrics fields.
     assert np.isfinite(run["allviews"]["psnr_mean"])
     assert np.isfinite(run["allviews"]["ssim_mean"])
+
+    # The markdown twin: one row per run, numbers rendered.
+    summary = open(os.path.join(r4, "summary.md")).read()
+    assert f"| {name} | 16 |" in summary
+    assert "—" not in summary.split(name)[1].splitlines()[0], summary
