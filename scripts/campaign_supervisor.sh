@@ -35,8 +35,23 @@ while [ $(( $(date +%s) - start )) -lt "$DEADLINE_S" ]; do
     echo "[supervisor] ALL artifacts landed $(date -u +%FT%TZ)" >> "$LOG"
     exit 0
   fi
-  # Probe the tunnel: backend init + a real host transfer (the axon
-  # failure mode is an indefinite HANG, hence the hard timeout).
+  # Two-stage probe. Stage 1 (cheap, ~20s cadence): the axon loopback
+  # relay on 127.0.0.1:8083 — when the tunnel is down the port refuses
+  # (measured), so polling it costs nothing and cuts the tunnel-return
+  # -> campaign-start latency from ~9 min (heavy-probe cycle) to ~2
+  # min. Stage 2 (authoritative, only when the port answers): backend
+  # init + a real host transfer (backend init can HANG even when the
+  # port accepts, hence the hard timeout).
+  if ! curl -m 3 -s -o /dev/null 127.0.0.1:8083; then
+    # curl rc 7 = refused, 28 = timeout — either way not up; a tiny
+    # periodic heartbeat line keeps the log's outage timeline intact.
+    if [ $(( $(date +%s) % 600 )) -lt 25 ]; then
+      echo "tpu still down (relay port closed) $(date -u +%FT%TZ)" >> "$LOG"
+    fi
+    sleep 20
+    continue
+  fi
+  echo "[supervisor] relay port answering $(date -u +%FT%TZ); heavy probe" >> "$LOG"
   if ! timeout 420 python -u -c "
 import jax, numpy as np, jax.numpy as jnp
 d = jax.devices()
@@ -44,7 +59,7 @@ assert d and d[0].platform == 'tpu', d
 x = np.asarray(jnp.ones((8, 128)).sum())
 print('TPU_UP', d[0], x)
 " >> "$LOG" 2>&1; then
-    echo "tpu still down $(date -u +%FT%TZ)" >> "$LOG"
+    echo "tpu still down (port open, backend probe failed) $(date -u +%FT%TZ)" >> "$LOG"
     sleep 120
     continue
   fi
