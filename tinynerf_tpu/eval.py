@@ -49,6 +49,10 @@ class EvalConfig:
     # per-pixel |render - gt| (mean over rgb), tone-mapped so 0.25
     # absolute error saturates — shows WHERE quality is lost (thin
     # structures vs texture vs silhouettes)
+    save_depth: bool = False  # also write depth_<i>.png (disparity-
+    # style tone map: near = bright, masked where acc < 0.1) and
+    # acc_<i>.png per view — the geometry the model learned, invisible
+    # in RGB (the original NeRF's depth renders; no reference analog)
     allow_synthetic: bool = True
 
 
@@ -94,7 +98,23 @@ def main(cfg: EvalConfig = EvalConfig()) -> dict:
     os.makedirs(cfg.out_dir, exist_ok=True)
     with open(f"{cfg.out_dir}/metrics.json", "w") as f:
         json.dump({"indices": indices, **res}, f, indent=2)
-    if cfg.save_images or cfg.save_error_maps:
+    aux_renderer = None
+    if cfg.save_depth:
+        # A twin GEOMETRY renderer over the same checkpoint (packed
+        # depth/acc pseudo-images — render.pack_aux). The duplicate
+        # param load is a few MB; not worth complicating the loader API.
+        _, aux_renderer, _ = load_model_and_renderer(
+            cfg.ckpt_path, H=H, W=W, focal=focal, n_samples=cfg.n_samples,
+            near=cfg.near, far=cfg.far, chunk=cfg.chunk, fused=cfg.fused,
+            n_fine=cfg.n_fine, aux=True,
+        )
+    if cfg.save_images or cfg.save_error_maps or cfg.save_depth:
+        from tinynerf_tpu.render import unpack_aux
+
+        # NDC checkpoints sample t in [0,1] (model_io remaps near/far).
+        near, far = (0.0, 1.0) if meta.get("cfg", {}).get("ndc") else (
+            cfg.near, cfg.far
+        )
         for i in indices:
             img = np.asarray(renderer(params, poses[i]))
             if cfg.save_images:
@@ -105,6 +125,23 @@ def main(cfg: EvalConfig = EvalConfig()) -> dict:
                 write_png(
                     f"{cfg.out_dir}/err_{i:03d}.png",
                     np.stack([err, err, err], axis=-1),
+                )
+            if cfg.save_depth:
+                depth, acc = unpack_aux(
+                    np.asarray(aux_renderer(params, poses[i])), near, far
+                )
+                # Disparity-style tone map (near = bright); empty rays
+                # (acc below 0.1) render black instead of the arbitrary
+                # depth a near-zero weight sum would imply.
+                d_norm = np.clip((depth - near) / (far - near), 0.0, 1.0)
+                shade = (1.0 - d_norm) * (acc >= 0.1)
+                write_png(
+                    f"{cfg.out_dir}/depth_{i:03d}.png",
+                    np.stack([shade] * 3, axis=-1),
+                )
+                write_png(
+                    f"{cfg.out_dir}/acc_{i:03d}.png",
+                    np.stack([np.clip(acc, 0.0, 1.0)] * 3, axis=-1),
                 )
         print(f"[eval] wrote renders + metrics.json to {cfg.out_dir}")
     return res

@@ -42,6 +42,10 @@ class GifConfig:
     far: float = 6.0
     chunk: int = 8192
     fused: bool = False
+    depth: bool = False  # render the DEPTH spiral instead of color:
+    # disparity-style tone map (near = bright, empty rays black) from
+    # the geometry renderer (render.pack_aux). The original NeRF's
+    # depth video; no reference analog.
     allow_synthetic: bool = True
 
 
@@ -57,7 +61,7 @@ def main(cfg: GifConfig = GifConfig()) -> None:
     params, renderer, meta = load_model_and_renderer(
         cfg.ckpt_path, H=H, W=W, focal=focal, n_samples=cfg.n_samples,
         near=cfg.near, far=cfg.far, chunk=cfg.chunk, fused=cfg.fused,
-        frames=True,
+        frames=True, aux=cfg.depth,
     )
     print(f"[ckpt] loaded {cfg.ckpt_path} (step {meta['step']}, model {meta['model']})")
 
@@ -65,9 +69,20 @@ def main(cfg: GifConfig = GifConfig()) -> None:
     # Quantize to uint8 ON DEVICE: the GIF needs nothing more, and it
     # shrinks the device->host transfer 4x (same truncation the host
     # path applies, so pixels are bit-identical).
-    quantized = jax.jit(
-        lambda p, x: (jnp.clip(renderer(p, x), 0.0, 1.0) * 255).astype(jnp.uint8)
-    )
+    if cfg.depth:
+        # Tone-map the packed (depth, acc) channels on device: shade =
+        # disparity gated on acc >= 0.1, broadcast to gray rgb.
+        def tone(p, x):
+            out = renderer(p, x)
+            shade = (1.0 - out[..., 0]) * (out[..., 1] >= 0.1)
+            gray = jnp.clip(shade, 0.0, 1.0)[..., None] * jnp.ones((3,))
+            return (gray * 255).astype(jnp.uint8)
+
+        quantized = jax.jit(tone)
+    else:
+        quantized = jax.jit(
+            lambda p, x: (jnp.clip(renderer(p, x), 0.0, 1.0) * 255).astype(jnp.uint8)
+        )
     t0 = time.time()
     frames = np.asarray(quantized(params, path))  # one dispatch, all frames
     dt = time.time() - t0

@@ -135,10 +135,14 @@ def render_rays_hierarchical(
     key: Optional[jax.Array] = None,
     sigma_noise_std: float = 0.0,
     sigma_noise_scale=1.0,
+    return_aux: bool = False,
 ):
     """Coarse pass -> inverse-CDF resample -> fine pass on the union.
 
-    Returns (comp_coarse (R,3), comp_fine (R,3)).
+    Returns (comp_coarse (R,3), comp_fine (R,3)); with return_aux=True,
+    (comp_coarse, comp_fine, depth_fine (R,), acc_fine (R,)) — the fine
+    pass's expected ray-termination depth and accumulated opacity (the
+    render.py aux/geometry channels).
 
     sigma_noise_std > 0 adds N(0, std) noise to raw density pre-ReLU in
     BOTH passes (train-time only: requires randomized=True/key);
@@ -201,9 +205,11 @@ def render_rays_hierarchical(
 
     # --- fine ---
     rgb_f, sigma_f = run_mlp(params["fine"], pts_f, n_coarse + n_fine, k_noise=k_nf)
-    comp_f, _, _, _ = volume_render(
+    comp_f, depth_f, acc_f, _ = volume_render(
         rgb_f, sigma_f, z_union, rays_d, white_bkgd=white_bkgd
     )
+    if return_aux:
+        return comp_c, comp_f, depth_f, acc_f
     return comp_c, comp_f
 
 

@@ -65,6 +65,31 @@ def render_rays(
     return comp_rgb
 
 
+def pack_aux(depth, acc, near: float, far: float):
+    """Pack per-ray (depth, acc) as a (R, 3) pseudo-image so the aux
+    render rides the generic 3-channel chunked driver unchanged:
+    channel 0 = EXPECTED termination depth (depth / acc — the raw
+    composite sum(w*z) scales with opacity, so an acc=0.3 ray would
+    otherwise report a depth below `near`) normalized to [0,1] over
+    [near, far]; channel 1 = accumulated opacity (already [0,1]);
+    channel 2 unused. Low-acc rays carry an ill-defined expectation —
+    consumers mask on the acc channel. The driver's [0,1] clip bounds
+    both channels by construction; shapes are flattened so the
+    volume_render's keepdims (R, 1) outputs pack the same as (R,)."""
+    depth = jnp.ravel(depth)
+    acc = jnp.ravel(acc)
+    d_exp = depth / jnp.maximum(acc, 1e-6)
+    d_norm = (d_exp - near) / (far - near)
+    return jnp.stack([d_norm, acc, jnp.zeros_like(acc)], axis=-1)
+
+
+def unpack_aux(img, near: float, far: float):
+    """(H, W, 3) aux pseudo-image -> (expected depth (H, W) in scene
+    units — clipped to [near, far], mask on acc for validity;
+    acc (H, W))."""
+    return img[..., 0] * (far - near) + near, img[..., 1]
+
+
 def chunked_over_rays(
     ray_fn, H: int, W: int, focal, pose: jax.Array, chunk: int,
     ndc: bool = False,
@@ -120,10 +145,29 @@ def render_image_fn(
     model_cfg: TinyNeRFConfig = TinyNeRFConfig(),
     use_fused: bool = False,
     ndc: bool = False,
+    aux: bool = False,
 ) -> jax.Array:
-    """Render a full (H, W, 3) image for one camera pose (pure, jittable)."""
+    """Render a full (H, W, 3) image for one camera pose (pure, jittable).
+
+    aux=True renders the geometry channels instead of color: the packed
+    (depth, acc) pseudo-image (pack_aux). Aux is an offline-analysis
+    path, so it always takes the XLA pipeline (the fused render kernel
+    composites color only)."""
 
     def one_chunk(ro, rd):
+        if aux:
+            n_rays = ro.shape[0]
+            z_vals, pts = stratified_samples(
+                near, far, n_samples, ro, rd, randomized=False
+            )
+            xenc = positional_encoding(pts.reshape(-1, 3), num_freqs=num_freqs)
+            rgb, sigma = apply_tinynerf(params, xenc, model_cfg)
+            _, depth, acc, _ = volume_render(
+                rgb.reshape(n_rays, n_samples, 3),
+                sigma.reshape(n_rays, n_samples),
+                z_vals, rd, white_bkgd=white_bkgd,
+            )
+            return pack_aux(depth, acc, near, far)
         return render_rays(
             params,
             ro,
@@ -169,18 +213,29 @@ def make_hierarchical_image_renderer(
     use_fused: bool = False,
     frames: bool = False,
     ndc: bool = False,
+    aux: bool = False,
 ):
     """Jitted `(params, pose) -> (H, W, 3)` renderer for the full NeRF
     (coarse/fine) model: the fine composite is the output image.
     use_fused routes both MLP passes through the fused Pallas pipeline
     (kernels/fused_nerf.py). frames=True instead returns the batched
-    `(params, poses (F, 4, 4)) -> (F, H, W, 3)` variant."""
+    `(params, poses (F, 4, 4)) -> (F, H, W, 3)` variant. aux=True
+    renders the fine pass's packed (depth, acc) geometry channels
+    (pack_aux) via the XLA pipeline."""
     from tinynerf_tpu.models.nerf import NeRFConfig, render_rays_hierarchical
 
     nerf_cfg = nerf_cfg or NeRFConfig()
 
     def fn(params, pose):
         def one_chunk(ro, rd):
+            if aux:
+                _, _, depth, acc = render_rays_hierarchical(
+                    params, ro, rd,
+                    n_coarse=n_coarse, n_fine=n_fine,
+                    near=near, far=far, white_bkgd=white_bkgd,
+                    cfg=nerf_cfg, randomized=False, return_aux=True,
+                )
+                return pack_aux(depth, acc, near, far)
             if use_fused:
                 from tinynerf_tpu.kernels.fused_nerf import (
                     fused_render_rays_hierarchical,
@@ -235,6 +290,7 @@ def make_occupancy_image_renderer(
     n_segments: int = 64,
     floor: float = 1e-2,
     aabb=None,
+    aux: bool = False,
 ):
     """Jitted `(params, pose) -> (H, W, 3)` renderer for the
     occupancy-proposal NeRF (params = {'fine': mlp}): the density grid
@@ -261,7 +317,7 @@ def make_occupancy_image_renderer(
                 n_segments=n_segments, floor=floor, aabb=aabb,
                 randomized=False,
             )
-            if use_fused:
+            if use_fused and not aux:
                 from tinynerf_tpu.kernels.fused_nerf_stream import (
                     fused_nerf_render_rays_streamed,
                 )
@@ -284,10 +340,12 @@ def make_occupancy_image_renderer(
                     S, axis=0,
                 )
             rgb, sigma = apply_nerf_mlp(params["fine"], x_enc, d_enc, nerf_cfg)
-            comp, _, _, _ = volume_render(
+            comp, depth, acc, _ = volume_render(
                 rgb.reshape(R, S, 3), sigma.reshape(R, S), z, rd,
                 white_bkgd=white_bkgd,
             )
+            if aux:
+                return pack_aux(depth, acc, near, far)
             return comp
 
         return chunked_over_rays(one_chunk, H, W, float(focal), pose, chunk, ndc=ndc)
@@ -310,10 +368,12 @@ def make_image_renderer(
     use_fused: bool = False,
     frames: bool = False,
     ndc: bool = False,
+    aux: bool = False,
 ):
     """Build a jitted `(params, pose) -> (H, W, 3)` renderer, or with
     frames=True the batched `(params, poses (F, 4, 4)) -> (F, H, W, 3)`
-    variant (one dispatch for a whole camera path)."""
+    variant (one dispatch for a whole camera path). aux=True renders
+    packed (depth, acc) geometry channels instead of color."""
     fn = functools.partial(
         render_image_fn,
         H=H,
@@ -328,5 +388,6 @@ def make_image_renderer(
         model_cfg=model_cfg,
         use_fused=use_fused,
         ndc=ndc,
+        aux=aux,
     )
     return as_frames_renderer(fn) if frames else jax.jit(fn)

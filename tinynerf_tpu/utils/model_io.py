@@ -28,9 +28,13 @@ def load_model_and_renderer(
     fused: bool = False,
     frames: bool = False,
     n_fine: "int | None" = None,
+    aux: bool = False,
 ):
     """-> (params, renderer, meta) with renderer: (params, pose) -> image
     (or, with frames=True, (params, poses (F,4,4)) -> (F,H,W,3)).
+
+    aux=True builds a GEOMETRY renderer instead: packed (depth, acc)
+    pseudo-images (render.pack_aux / unpack_aux).
 
     n_fine (None = use the checkpoint's stored fine-sample count)
     overrides the fine-sample budget for the hierarchical model —
@@ -86,7 +90,7 @@ def load_model_and_renderer(
                 n_samples=n_samples
                 + (n_fine if n_fine is not None else mcfg.get("n_fine", 64)),
                 near=near, far=far, nerf_cfg=ncfg, use_fused=fused,
-                frames=frames, ndc=ndc, aabb=aabb,
+                frames=frames, ndc=ndc, aabb=aabb, aux=aux,
             )
         else:
             params_t = init_nerf(jax.random.PRNGKey(0), ncfg)
@@ -95,7 +99,7 @@ def load_model_and_renderer(
                 n_coarse=n_samples,
                 n_fine=n_fine if n_fine is not None else mcfg.get("n_fine", 64),
                 near=near, far=far, nerf_cfg=ncfg, use_fused=fused,
-                frames=frames, ndc=ndc,
+                frames=frames, ndc=ndc, aux=aux,
             )
     else:
         model_cfg = TinyNeRFConfig(
@@ -110,7 +114,7 @@ def load_model_and_renderer(
         renderer = make_image_renderer(
             H=H, W=W, focal=focal, chunk=chunk, n_samples=n_samples,
             near=near, far=far, num_freqs=num_freqs, model_cfg=model_cfg,
-            use_fused=fused, frames=frames, ndc=ndc,
+            use_fused=fused, frames=frames, ndc=ndc, aux=aux,
         )
     # Params-only restore: render-only consumers must accept checkpoints
     # written under ANY optimizer configuration (--lr-decay-steps changes
