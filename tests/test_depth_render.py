@@ -138,6 +138,40 @@ def test_eval_save_depth_and_gif_depth_end_to_end(tiny_npz, tmp_path):
     assert os.path.getsize(gif_path) > 0
 
 
+def test_eval_save_depth_ndc_checkpoint(tmp_path):
+    """NDC checkpoints sample t in [0,1]: model_io remaps the aux
+    renderer's near/far, and eval's unpack must use the SAME range or
+    every depth map would silently tone-map against world near/far."""
+    from tinynerf_tpu import eval as eval_mod
+    from tinynerf_tpu import train
+
+    d = generate_synthetic_dataset(n_poses=6, h=24, w=24, seed=7, forward_facing=True)
+    npz = str(tmp_path / "ff.npz")
+    np.savez(npz, images=d["images"], poses=d["poses"], focal=d["focal"])
+    cfg = Config(
+        data_path=npz, allow_synthetic=False, ndc=True, iters=16, n_rand=64,
+        n_samples=8, num_freqs=4, hidden=16, log_every=8,
+        preview_every=1000, ckpt_every=16, chunk=128, bf16=False,
+        ckpt_path=str(tmp_path / "ndc.npz"), out_dir=str(tmp_path / "out"),
+        resume=False,
+    )
+    train.main(cfg)
+    out_dir = str(tmp_path / "eval_ndc")
+    eval_mod.main(eval_mod.EvalConfig(
+        ckpt_path=cfg.ckpt_path, data_path=npz, allow_synthetic=False,
+        out_dir=out_dir, views=1, n_samples=8, chunk=128,
+        save_images=False, save_depth=True,
+    ))
+    import imageio.v2 as imageio
+
+    name = next(f for f in os.listdir(out_dir) if f.startswith("depth_"))
+    png = imageio.imread(os.path.join(out_dir, name))
+    assert png.shape[-1] == 3 and png.max() <= 255
+    # A finite, non-constant depth map (the tone map would collapse to
+    # all-black or all-white if the pack/unpack ranges disagreed).
+    assert png.std() > 0, "depth map is constant — near/far range mismatch?"
+
+
 def test_eval_save_depth_occupancy_checkpoint(tiny_npz, tmp_path):
     """The occupancy-proposal restore path builds its aux renderer over
     the persisted grid AABB like the color one."""
