@@ -95,8 +95,8 @@ def _partials_fwd_kernel(
     skip_at: int,
     compute_dtype,
 ):
-    acts_scr, enc_scr = args[-2:]
-    args = args[:-2]
+    acts_scr, enc_scr, tin_scr = args[-3:]
+    args = args[:-3]
     n_wb = 2 * (n_layers + 3)
     wb = args[:n_wb]
     out_ref = args[n_wb]  # (6, R): C(3), A, T, D
@@ -132,7 +132,12 @@ def _partials_fwd_kernel(
 
         def fwd_body(b, carry):
             T_run, C, A, D = carry
-            tin_ref[pl.ds(b, 1), sl] = T_run
+            # Full-row dynamic store into the tiny (NB, TR) scratch —
+            # real Mosaic rejects a dynamic SUBLANE index combined with
+            # a lane slice on the (NB, R) output ("dynamic store with
+            # unaligned indices", first on-chip compile r4); the
+            # scratch rows are copied out with static indices below.
+            tin_scr[pl.ds(b, 1)] = T_run
             zsl = pl.ds(pl.multiple_of(b * SB, SB), SB)
             z_row = z_ref[zsl, sl].reshape(1, TRB)
             delta = dl_ref[zsl, sl].reshape(1, TRB)
@@ -181,6 +186,7 @@ def _partials_fwd_kernel(
         out_ref[3:4, sl] = A
         out_ref[4:5, sl] = T
         out_ref[5:6, sl] = D
+        tin_ref[:, sl] = tin_scr[:]
         return 0
 
     jax.lax.fori_loop(0, n_tiles, tile_body, 0)
@@ -210,8 +216,8 @@ def _partials_bwd_kernel(
     skip_at: int,
     compute_dtype,
 ):
-    acts_scr, enc_scr = args[-2:]
-    args = args[:-2]
+    acts_scr, enc_scr, tin_scr = args[-3:]
+    args = args[:-3]
     if has_gw:
         gw_ref, args = args[0], args[1:]
     n_wb = 2 * (n_layers + 3)
@@ -276,6 +282,10 @@ def _partials_bwd_kernel(
         g3 = pltpu.repeat(gc_ref[:, sl], SB, axis=1)  # (3, TRB)
         gA_rep = pltpu.repeat(gad_ref[0:1, sl], SB, axis=1)
         gD_rep = pltpu.repeat(gad_ref[1:2, sl], SB, axis=1)
+        # Static copy of this tile's residual columns; rows are then
+        # read with the (chip-proven) full-row dynamic scratch index —
+        # see the matching store-side note in the forward kernel.
+        tin_scr[:] = tin_ref[:, sl]
 
         def bwd_body(j, carry):
             suf_carry, grads = carry
@@ -283,7 +293,7 @@ def _partials_bwd_kernel(
             (z_row, delta, sigma, g1, rgb, rgb_in_input, one_m, alpha,
              tl) = block_forward(b)
             zsl = pl.ds(pl.multiple_of(b * SB, SB), SB)
-            T_in = tin_ref[pl.ds(b, 1), sl]  # (1, TR)
+            T_in = tin_scr[pl.ds(b, 1)]  # (1, TR)
             trans = pltpu.repeat(T_in, SB, axis=1) * tl  # shard-local
             w = alpha * trans
 
@@ -445,6 +455,7 @@ def make_fused_block_partials_fn(
             scratch_shapes=[
                 pltpu.VMEM((cfg.depth, cfg.hidden, TRB), cfg.compute_dtype),
                 pltpu.VMEM((enc_dim, TRB), cfg.compute_dtype),
+                pltpu.VMEM((NB, tr), f32),
             ],
             cost_estimate=cost,
             compiler_params=pltpu.CompilerParams(
@@ -532,6 +543,7 @@ def make_fused_block_partials_fn(
             scratch_shapes=[
                 pltpu.VMEM((cfg.depth, cfg.hidden, TRB), cfg.compute_dtype),
                 pltpu.VMEM((enc_dim, TRB), cfg.compute_dtype),
+                pltpu.VMEM((S // sb, tr), f32),
             ],
             cost_estimate=cost,
             compiler_params=pltpu.CompilerParams(
