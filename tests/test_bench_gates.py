@@ -217,6 +217,11 @@ def test_bench_degrades_to_artifact_on_backend_failure(monkeypatch, capsys):
     sys.path.insert(0, ".")
     import bench
 
+    # A REAL campaign may hold benchmarks/r4/CAMPAIGN_RUNNING while the
+    # suite runs (measured: the suite politely queued on the live lock
+    # for the full 90-min bound) — the wait is not under test here.
+    monkeypatch.setenv("BENCH_SKIP_CAMPAIGN_LOCK", "1")
+
     def dead_devices():
         raise RuntimeError("Unable to initialize backend 'tpu': connection refused")
 
@@ -258,6 +263,9 @@ def test_bench_main_wiring_cpu(monkeypatch, capsys):
     sys.path.insert(0, ".")
     import bench
 
+    # See test_bench_degrades_to_artifact_on_backend_failure: never
+    # wait on a LIVE campaign's chip lock from the test suite.
+    monkeypatch.setenv("BENCH_SKIP_CAMPAIGN_LOCK", "1")
     monkeypatch.setattr(
         bench, "_measure_train_rays_per_sec",
         lambda *a, **k: (1e6, 1e-3, {"p50_ms": 1.0, "p95_ms": 1.2, "max_ms": 2.0}),
@@ -346,9 +354,12 @@ class TestBenchLauncher:
             tmp_path,
             'print(\'{"metric": "train_rays_per_sec_per_chip", "value": 42.0}\')\n',
         )
+        import os as os_mod
+
         p = subprocess.run(
             [sys.executable, "-u", path], capture_output=True, text=True,
             timeout=60,
+            env=dict(os_mod.environ, BENCH_SKIP_CAMPAIGN_LOCK="1"),
         )
         lines = [l for l in p.stdout.splitlines() if l.startswith('{"metric"')]
         assert p.returncode == 0 and len(lines) == 1, p.stdout
@@ -362,7 +373,14 @@ class TestBenchLauncher:
         path = self._stub(tmp_path, "import time\ntime.sleep(600)\n")
         p = subprocess.run(
             [sys.executable, "-u", path],
-            env=dict(os_mod.environ, BENCH_TOTAL_DEADLINE_S="3"),
+            # SKIP_CAMPAIGN_LOCK: a live campaign's lock would extend
+            # the launcher deadline by BENCH_LOCK_WAIT_S and the child
+            # would outlive the subprocess timeout (measured mid-r4).
+            env=dict(
+                os_mod.environ,
+                BENCH_TOTAL_DEADLINE_S="3",
+                BENCH_SKIP_CAMPAIGN_LOCK="1",
+            ),
             capture_output=True, text=True, timeout=120,
         )
         lines = [l for l in p.stdout.splitlines() if l.startswith('{"metric"')]

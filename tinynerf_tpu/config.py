@@ -49,6 +49,8 @@ class Config:
 
     # --- full-NeRF upgrade (BASELINE config 4; no reference counterpart) ---
     model: str = "tinynerf"  # "tinynerf" | "nerf" (viewdirs + coarse/fine)
+    # | "grid" (multi-resolution grid encoding, models/grid_nerf.py —
+    # Instant-NGP-style; converges in far fewer steps)
     n_fine: int = 64  # fine samples per ray (nerf model only)
     proposal: str = "coarse"  # nerf model's proposal distribution:
     # "coarse": a second MLP, the NeRF paper's hierarchical scheme |
@@ -59,6 +61,14 @@ class Config:
     nerf_skip_at: int = 4
     num_freqs_dir: int = 4
     rgb_hidden: int = 64
+
+    # --- grid model family (models/grid_nerf.py; --model grid) ---
+    grid_levels: int = 8  # feature-pyramid levels
+    grid_features: int = 2  # features per level
+    grid_base_res: int = 16  # coarsest grid resolution
+    grid_max_res: int = 128  # finest grid resolution
+    grid_table_size: int = 1 << 17  # entries/level cap (finer levels hash)
+    grid_hidden: int = 64  # grid-MLP width (both branches)
 
     # --- ray batching ---
     ray_sampling: str = "image"  # "image": one image per step (reference
@@ -149,6 +159,30 @@ class Config:
             skip_at=self.nerf_skip_at,
             rgb_hidden=self.rgb_hidden,
             compute_dtype=jnp.bfloat16 if self.bf16 else jnp.float32,
+        )
+
+    def grid_cfg(self, aabb=None):
+        """GridNeRFConfig; aabb (2, 3 array-like) overrides the default
+        scene box — the driver derives it from the capture's rays and
+        persists it in checkpoint meta (the same contract as occ_aabb)."""
+        import numpy as np
+
+        from tinynerf_tpu.models.grid_nerf import GridNeRFConfig
+
+        kw = {}
+        if aabb is not None:
+            a = np.asarray(aabb, np.float64).reshape(6)
+            kw["aabb"] = tuple(float(v) for v in a)
+        return GridNeRFConfig(
+            n_levels=self.grid_levels,
+            features=self.grid_features,
+            base_res=self.grid_base_res,
+            max_res=self.grid_max_res,
+            table_size=self.grid_table_size,
+            hidden=self.grid_hidden,
+            num_freqs_dir=self.num_freqs_dir,
+            compute_dtype=jnp.bfloat16 if self.bf16 else jnp.float32,
+            **kw,
         )
 
     def train_settings(self) -> TrainSettings:

@@ -38,9 +38,11 @@ def make_sparsity_grad_fn(
 
     s: TrainSettings (num_freqs / model_cfg). model_kind: "tinynerf" |
     "nerf" (nerf applies the prior to EVERY MLP in the params dict —
-    coarse+fine, or the single occupancy-proposal MLP). aabb (2,3)
-    bounds the sampled box (defaults to the occupancy module's scene
-    box so the prior covers every reachable sample point).
+    coarse+fine, or the single occupancy-proposal MLP) | "grid"
+    (pass the GridNeRFConfig via nerf_cfg; hash-collision fog makes
+    grid models the prior's best customer). aabb (2,3) bounds the
+    sampled box (defaults to the occupancy module's scene box so the
+    prior covers every reachable sample point).
     """
     if aabb is None:
         from tinynerf_tpu.ops.occupancy import default_aabb
@@ -77,6 +79,19 @@ def make_sparsity_grad_fn(
                 _, sigma = apply_nerf_mlp(params[name], x, d, nerf_cfg)
                 total = total + jnp.mean(sigma)
             return total / len(params)
+
+    elif model_kind == "grid":
+        if nerf_cfg is None:
+            raise ValueError("model_kind='grid' requires the GridNeRFConfig")
+        from tinynerf_tpu.models.grid_nerf import apply_grid_nerf
+
+        def mean_sigma(params, pts):
+            # The sigma branch ignores view direction entirely.
+            d = jnp.broadcast_to(
+                jnp.asarray([0.0, 0.0, -1.0], jnp.float32), pts.shape
+            )
+            _, sigma = apply_grid_nerf(params, pts, d, nerf_cfg)
+            return jnp.mean(sigma)
 
     else:
         raise ValueError(f"unknown model_kind={model_kind!r}")

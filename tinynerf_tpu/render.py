@@ -353,6 +353,43 @@ def make_occupancy_image_renderer(
     return as_frames_renderer(fn) if frames else jax.jit(fn)
 
 
+def make_grid_image_renderer(
+    *,
+    H: int,
+    W: int,
+    focal: float,
+    grid_cfg,
+    chunk: int = 8192,
+    n_samples: int = 64,
+    near: float = 2.0,
+    far: float = 6.0,
+    white_bkgd: bool = True,
+    frames: bool = False,
+    ndc: bool = False,
+    aux: bool = False,
+):
+    """Jitted full-image renderer for the grid family (--model grid):
+    one deterministic uniform-quadrature pass through the generic
+    chunked driver. Same surface as the other make_*_image_renderer
+    builders (frames batching, NDC, aux geometry channels)."""
+    from tinynerf_tpu.models.grid_nerf import render_rays_grid
+
+    def image_fn(params, pose):
+        def one_chunk(ro, rd):
+            comp, depth, acc, _, _ = render_rays_grid(
+                params, ro, rd, None,
+                cfg=grid_cfg, n_samples=n_samples, near=near, far=far,
+                white_bkgd=white_bkgd,
+            )
+            if aux:
+                return pack_aux(depth, acc, near, far)
+            return comp
+
+        return chunked_over_rays(one_chunk, H, W, focal, pose, chunk, ndc=ndc)
+
+    return as_frames_renderer(image_fn) if frames else jax.jit(image_fn)
+
+
 def make_image_renderer(
     *,
     H: int,

@@ -93,6 +93,25 @@ def main(cfg: Config) -> dict:
         else:
             loss = make_hierarchical_loss(ncfg, n_fine=cfg.n_fine)
             init_fn = lambda k: init_nerf(k, ncfg)
+    elif cfg.model == "grid":
+        if cfg.proposal == "occupancy":
+            raise ValueError(
+                "--proposal occupancy is a nerf-family sampler; the grid "
+                "model's fine levels already concentrate capacity"
+            )
+        if cfg.fused_train or cfg.fused:
+            raise ValueError(
+                "--fused/--fused-train implement the Fourier-MLP "
+                "families; the grid model is gather-bound (an XLA path "
+                "by design, models/grid_nerf.py) — drop those flags"
+            )
+        from tinynerf_tpu.models.grid_nerf import init_grid_nerf
+
+        # Table/MLP shapes don't depend on the scene box, so init can
+        # use the default-aabb config; the REAL box (derived from the
+        # capture's rays, below) is baked into the loss and renderer.
+        init_fn = lambda k: init_grid_nerf(k, cfg.grid_cfg())
+        loss = None  # built after the ray precompute (needs the AABB)
     elif cfg.model == "tinynerf":
         if cfg.proposal == "occupancy":
             raise ValueError(
@@ -101,7 +120,7 @@ def main(cfg: Config) -> dict:
             )
         loss, init_fn = None, None
     else:
-        raise ValueError(f"unknown model {cfg.model!r} (tinynerf|nerf)")
+        raise ValueError(f"unknown model {cfg.model!r} (tinynerf|nerf|grid)")
     params, opt_state = init_train_state(key, settings, init_fn=init_fn)
 
     # Resume (src/train.py:84-92 semantics: model+opt+step when present).
@@ -207,6 +226,40 @@ def main(cfg: Config) -> dict:
             "composite to shard); it does support --data-parallel"
         )
 
+    gcfg = None
+    if cfg.model == "grid":
+        import numpy as np_  # local alias: keep the jnp-heavy scope clear
+
+        if cfg.sample_parallel > 1:
+            raise ValueError(
+                "--sample-parallel > 1 is not implemented for --model "
+                "grid (no block-partials path for the gather encoder); "
+                "grid supports --data-parallel ray sharding"
+            )
+        from tinynerf_tpu.models.grid_nerf import make_grid_loss
+
+        if cfg.ndc:
+            from tinynerf_tpu.ops.occupancy import default_aabb
+
+            grid_aabb = np_.asarray(default_aabb(1.0))  # the NDC cube
+        else:
+            # Same contract as the occupancy grid: the box must bound
+            # every reachable sample point of EVERY pose (including
+            # held-out eval poses), so derive it from the full
+            # pre-holdout ray set; persisted in ckpt meta below.
+            from tinynerf_tpu.ops.occupancy import aabb_from_rays
+
+            grid_aabb = np_.asarray(
+                aabb_from_rays(rays_o_full, rays_d_full, cfg.near, cfg.far)
+            )
+        gcfg = cfg.grid_cfg(aabb=grid_aabb)
+        loss = make_grid_loss(gcfg)
+        print(
+            f"[model] grid: levels={gcfg.level_resolutions()} "
+            f"dense={sum(gcfg.level_is_dense())}/{gcfg.n_levels} "
+            f"aabb=[{grid_aabb[0].round(2)}, {grid_aabb[1].round(2)}]"
+        )
+
     extra_grad_fn = None
     if cfg.sigma_sparsity > 0:
         from tinynerf_tpu.ops.regularizers import make_sparsity_grad_fn
@@ -224,7 +277,11 @@ def main(cfg: Config) -> dict:
         extra_grad_fn = make_sparsity_grad_fn(
             settings,
             cfg.model,
-            nerf_cfg=ncfg if cfg.model == "nerf" else None,
+            nerf_cfg=(
+                ncfg if cfg.model == "nerf"
+                else gcfg if cfg.model == "grid"
+                else None
+            ),
             lam=cfg.sigma_sparsity,
             n_points=cfg.sigma_sparsity_points,
             aabb=sparsity_aabb,
@@ -324,6 +381,20 @@ def main(cfg: Config) -> dict:
             ndc=cfg.ndc,
             aabb=occ_aabb,
         )
+    elif cfg.model == "grid":
+        from tinynerf_tpu.render import make_grid_image_renderer
+
+        renderer = make_grid_image_renderer(
+            H=H,
+            W=W,
+            focal=focal,
+            grid_cfg=gcfg,
+            chunk=cfg.chunk,
+            n_samples=cfg.n_samples,
+            near=eff_near,
+            far=eff_far,
+            ndc=cfg.ndc,
+        )
     elif cfg.model == "nerf":
         from tinynerf_tpu.render import make_hierarchical_image_renderer
 
@@ -390,6 +461,24 @@ def main(cfg: Config) -> dict:
                 **(
                     {"occ_aabb": np.asarray(occ_aabb).tolist()}
                     if occupancy
+                    else {}
+                ),
+                # Grid-family rebuild info: the encoder's shape ladder
+                # AND its scene box (render consumers must normalize
+                # over the SAME box the tables were trained in).
+                **(
+                    {
+                        "grid": {
+                            "levels": cfg.grid_levels,
+                            "features": cfg.grid_features,
+                            "base_res": cfg.grid_base_res,
+                            "max_res": cfg.grid_max_res,
+                            "table_size": cfg.grid_table_size,
+                            "hidden": cfg.grid_hidden,
+                            "aabb": list(gcfg.aabb),
+                        }
+                    }
+                    if cfg.model == "grid"
                     else {}
                 ),
             },

@@ -1,6 +1,6 @@
 """Checkpoint-driven model reconstruction shared by the inference CLIs.
 
-Rebuilds the right model family (tinynerf or nerf) and a matching
+Rebuilds the right model family (tinynerf, nerf, or grid) and a matching
 jitted image renderer from a checkpoint's stored metadata — the
 reference's make_gif.py:19 pattern ("arch hyperparams from ckpt['cfg']
 with fallback defaults") generalized to both model kinds.
@@ -101,6 +101,33 @@ def load_model_and_renderer(
                 near=near, far=far, nerf_cfg=ncfg, use_fused=fused,
                 frames=frames, ndc=ndc, aux=aux,
             )
+    elif model_kind == "grid":
+        from tinynerf_tpu.models.grid_nerf import GridNeRFConfig, init_grid_nerf
+        from tinynerf_tpu.render import make_grid_image_renderer
+
+        g = mcfg.get("grid", {})
+        gcfg = GridNeRFConfig(
+            n_levels=g.get("levels", 8),
+            features=g.get("features", 2),
+            base_res=g.get("base_res", 16),
+            max_res=g.get("max_res", 128),
+            table_size=g.get("table_size", 1 << 17),
+            hidden=g.get("hidden", 64),
+            num_freqs_dir=mcfg.get("num_freqs_dir", 4),
+            # The box the tables were trained in — normalization must
+            # match or every lookup lands in the wrong cell.
+            **(
+                {"aabb": tuple(float(v) for v in g["aabb"])}
+                if g.get("aabb") is not None
+                else {}
+            ),
+        )
+        params_t = init_grid_nerf(jax.random.PRNGKey(0), gcfg)
+        renderer = make_grid_image_renderer(
+            H=H, W=W, focal=focal, grid_cfg=gcfg, chunk=chunk,
+            n_samples=n_samples, near=near, far=far,
+            frames=frames, ndc=ndc, aux=aux,
+        )
     else:
         model_cfg = TinyNeRFConfig(
             in_dim=encoding_dim(num_freqs),
