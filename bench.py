@@ -824,6 +824,7 @@ def _main_measurements(secs: _Sections, emit) -> None:
     train_rps_nerf = step_pct_fused = None
     train_mfu_nerf = train_rps_nerf_s512 = render_rps_nerf_fused = None
     train_mfu_tiny_fused = train_mfu_nerf_s512 = render_mfu_nerf = None
+    train_rps_grid = None
     parity = {}
     if on_tpu:
         import dataclasses
@@ -932,6 +933,31 @@ def _main_measurements(secs: _Sections, emit) -> None:
                 2.0 * mac_nerf * (64 + 192) * render_rps_nerf_fused / PEAK_FLOPS
             )
 
+        def run_grid():
+            # Grid-encoded family (models/grid_nerf.py): gather-bound
+            # XLA path, tracked for regressions like every hot path.
+            from tinynerf_tpu.models.grid_nerf import (
+                init_grid_nerf,
+                make_grid_loss,
+            )
+            from tinynerf_tpu.ops.occupancy import aabb_from_rays
+
+            gcfg = cfg.grid_cfg(
+                aabb=np.asarray(
+                    aabb_from_rays(rays_o_all, rays_d_all, cfg.near, cfg.far)
+                )
+            )
+            params_g, opt_g = init_train_state(
+                jax.random.PRNGKey(0), settings,
+                init_fn=lambda k: init_grid_nerf(k, gcfg),
+            )
+            block_g = make_train_block(settings, 20, loss=make_grid_loss(gcfg))
+            return _measure_train_rays_per_sec(
+                params_g, opt_g, block_g, data, cfg.n_rand, 20, reps=5
+            )[0]
+
+        train_rps_grid = secs.run("train_grid", run_grid)
+
         # Compiled-kernel parity gates (VERDICT r2 weak #5).
         parity = secs.run(
             "parity_gates", _compiled_parity_gates, settings, cfg, ncfg
@@ -1020,6 +1046,9 @@ def _main_measurements(secs: _Sections, emit) -> None:
         ),
         "train_rays_per_sec_nerf_s512_streamed": (
             round(train_rps_nerf_s512, 1) if train_rps_nerf_s512 else None
+        ),
+        "train_rays_per_sec_grid": (
+            round(train_rps_grid, 1) if train_rps_grid else None
         ),
         "train_mfu_tinynerf_fused": (
             round(train_mfu_tiny_fused, 4) if train_mfu_tiny_fused else None

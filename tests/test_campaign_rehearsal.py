@@ -108,6 +108,11 @@ def _shrink(cfg: Config, scenes, tmp, name: str) -> Config:
         kw["eval_every"] = 8
     if cfg.sigma_sparsity:
         kw["sigma_sparsity_points"] = 128
+    if cfg.model == "grid":
+        kw.update(
+            grid_levels=2, grid_base_res=4, grid_max_res=8,
+            grid_table_size=256, grid_hidden=8,
+        )
     return dataclasses.replace(cfg, **kw)
 
 

@@ -33,6 +33,7 @@ CAMPAIGN_SCRIPTS = [
     "benchmarks/hardscene_r4.sh",
     "benchmarks/heldout_levers_r4.sh",
     "benchmarks/flagship80k_r4.sh",
+    "benchmarks/grid_r4.sh",  # post-campaign grid-family legs
 ]
 
 PYTHON_STUB = """#!/usr/bin/env bash
