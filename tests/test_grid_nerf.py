@@ -239,6 +239,37 @@ def tiny_npz(tmp_path_factory):
 
 
 class TestDriver:
+    def test_grid_ndc_e2e(self, tmp_path, tmp_path_factory):
+        """--model grid --ndc: the AABB must be the NDC cube (not
+        derived from world rays) and rendering must reproject the same
+        way; exercises the grid_aabb NDC branch end to end."""
+        from tinynerf_tpu import train
+        from tinynerf_tpu.config import Config
+        from tinynerf_tpu.synthetic import generate_synthetic_dataset
+
+        ff = generate_synthetic_dataset(
+            n_poses=4, h=24, w=24, seed=7, forward_facing=True
+        )
+        path = str(tmp_path_factory.mktemp("ffdata") / "ff.npz")
+        np.savez(path, images=ff["images"], poses=ff["poses"], focal=ff["focal"])
+        cfg = Config(
+            iters=8, n_rand=64, n_samples=8, model="grid", ndc=True,
+            grid_levels=2, grid_base_res=4, grid_max_res=8,
+            grid_table_size=256, grid_hidden=8,
+            data_path=path, allow_synthetic=False,
+            ckpt_path=str(tmp_path / "g.npz"), out_dir=str(tmp_path / "o"),
+            resume=False, log_every=4, preview_every=8, ckpt_every=8,
+            chunk=256, bf16=False,
+        )
+        res = train.main(cfg)
+        assert np.isfinite(res["final_psnr"])
+        # The persisted box must be the NDC cube.
+        import json as json_lib
+
+        with np.load(cfg.ckpt_path, allow_pickle=False) as z:
+            meta = json_lib.loads(str(z["meta"]))["meta"]
+        assert meta["cfg"]["grid"]["aabb"] == [-1, -1, -1, 1, 1, 1]
+
     def test_train_eval_gif_e2e(self, tmp_path, tiny_npz):
         """--model grid end to end: train (ckpt + resume meta), eval,
         make_gif all consume the grid family through the standard
