@@ -34,6 +34,7 @@ CAMPAIGN_SCRIPTS = [
     "benchmarks/heldout_levers_r4.sh",
     "benchmarks/flagship80k_r4.sh",
     "benchmarks/grid_r4.sh",  # post-campaign grid-family legs
+    "benchmarks/hardfix_r4.sh",  # post-campaign hard-scene rescue legs
 ]
 
 PYTHON_STUB = """#!/usr/bin/env bash
