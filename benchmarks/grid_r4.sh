@@ -52,6 +52,11 @@ if [ ! -f data/hard_scene.npz ]; then
   tail -1 benchmarks/r4/hard_gen.log
 fi
 DATA_ARGS="--data-path data/hard_scene.npz"
+# Scene-sized rescue (see benchmarks/hardfix_r4.sh: the lattice's 77%
+# white background killed the MLP legs at the default noise window) —
+# later duplicate flags override the run_leg defaults.
 run_leg gridhard20k --iters 20000 --eval-every 4000 \
-    --data-path data/hard_scene.npz --no-allow-synthetic
+    --data-path data/hard_scene.npz --no-allow-synthetic \
+    --sigma-noise-std 4.0 --sigma-noise-decay-steps 8000 \
+    --sigma-noise-floor 0.5
 echo GRID_CAMPAIGN_DONE
