@@ -52,7 +52,8 @@ run_leg () {
 }
 
 run_leg hardimg20k --ray-sampling image
-run_leg hardnoise20k --ray-sampling pool \
-    --sigma-noise-std 4.0 --sigma-noise-decay-steps 8000 \
-    --sigma-noise-floor 0.5
+# hardnoise20k (pool + scene-sized noise) was folded into the main
+# campaign as hard20k itself (benchmarks/hardscene_r4.sh now runs the
+# rescue recipe directly rather than re-burning a known-dead window),
+# so only the image-mode isolation leg remains here.
 echo HARDFIX_DONE

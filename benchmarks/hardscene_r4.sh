@@ -44,6 +44,15 @@ run_leg () {
   grep -aE "Error|error|ckpt|eval" "benchmarks/r4/${name}_eval.log" | tail -3
 }
 
-run_leg hard20k
-run_leg hardocc20k --proposal occupancy
+# Scene-sized rescue recipe (commit 1e125fa): the original flagship
+# noise window (std 1.0 decaying by 2000) died of TOTAL sigma collapse
+# on this 77%-white-background capture — pure-white render, train PSNR
+# pinned ~11.4 from step ~2000 (death documented in ROUND4.md /
+# DESIGN.md 4b). Later duplicate flags override run_leg's baked-in
+# defaults (override semantics verified in tests), so both legs get
+# the rescue sized to the scene instead of re-burning 20k iters on a
+# known-dead window.
+RESCUE="--sigma-noise-std 4.0 --sigma-noise-decay-steps 8000 --sigma-noise-floor 0.5"
+run_leg hard20k $RESCUE
+run_leg hardocc20k --proposal occupancy $RESCUE
 echo HARDSCENE_DONE

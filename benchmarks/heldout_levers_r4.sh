@@ -48,13 +48,17 @@ run_leg () {
 # item 2) — the single-lever ablations that EXPLAIN the combo come
 # after. Tail holdout everywhere (except strided) so held-out-4 is
 # directly comparable with ctrl40k and the r3 flagship.
-run_leg ctrl40k
-# Stacked leg: the levers are mechanistically complementary (capacity
-# penalty / regularizing noise floor / trajectory averaging /
-# free-space prior / lr floor so the schedule never reaches the
-# memorization-polish regime).
+# Stacked leg FIRST: the levers are mechanistically complementary
+# (capacity penalty / regularizing noise floor / trajectory averaging
+# / free-space prior / lr floor so the schedule never reaches the
+# memorization-polish regime). It runs before even the control because
+# the >=27 dB held-out target (VERDICT r3 item 2) is the round's
+# headline shot and the r3 40k flagship already IS the divergence
+# baseline (all-views 30.23 / held-out 25.74); ctrl40k re-verifies it
+# on this round's code.
 run_leg combo40k --weight-decay 1e-4 --sigma-noise-floor 0.05 \
     --ema-decay 0.999 --sigma-sparsity 1e-3 --lr-floor 5e-5
+run_leg ctrl40k
 run_leg wd40k --weight-decay 1e-4
 run_leg ema40k --ema-decay 0.999
 run_leg sparse40k --sigma-sparsity 1e-3

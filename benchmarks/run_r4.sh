@@ -73,14 +73,23 @@ bash benchmarks/occupancy_r4.sh 2>&1 | tail -20
 echo "[$(stamp)] stage 3: NDC quality (20k)"
 bash benchmarks/ndc_quality_r4.sh 2>&1 | tail -10
 
-echo "[$(stamp)] stage 4: hard scene (2x 20k)"
+# Stages 4-5 swapped vs the original plan: the levers' combo40k leg
+# carries the round's headline target (>=27 dB held-out), so it must
+# land before the secondary hard-scene legs if the session dies early.
+echo "[$(stamp)] stage 4: held-out levers (7x 40k, combo first)"
+bash benchmarks/heldout_levers_r4.sh 2>&1 | tail -30
+
+echo "[$(stamp)] stage 5: hard scene (2x 20k, rescue recipe)"
 bash benchmarks/hardscene_r4.sh 2>&1 | tail -15
 
-echo "[$(stamp)] stage 5: held-out levers (5x 40k)"
-bash benchmarks/heldout_levers_r4.sh 2>&1 | tail -30
+echo "[$(stamp)] stage 5b: grid family quality (2k/20k/hard 20k)"
+bash benchmarks/grid_r4.sh 2>&1 | tail -15
 
 echo "[$(stamp)] stage 6: 80k flagship"
 bash benchmarks/flagship80k_r4.sh 2>&1 | tail -10
+
+echo "[$(stamp)] stage 7: hard-scene pool-vs-image isolation ablation"
+bash benchmarks/hardfix_r4.sh 2>&1 | tail -10
 
 python benchmarks/collect_r4.py 2>&1 | tail -2
 python benchmarks/plot_curves_r4.py 2>&1 | tail -2
