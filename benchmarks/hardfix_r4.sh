@@ -4,7 +4,7 @@
 # ablation could not isolate ray sampling) and the whole hard-scene
 # question moved to the round-5 research loop: a cheap 5k-step grid
 # search over image-mode x noise-scale x model family
-# (benchmarks/hard_search_r5.sh) before any 20k budget is committed.
+# (benchmarks/hardscene_r5.sh) before any 20k budget is committed.
 # Skipping here frees ~30 min of single-chip time for that loop.
 echo "hardfix stage folded into the round-5 hard-scene research loop"
 echo HARDFIX_DONE

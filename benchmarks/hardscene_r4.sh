@@ -49,9 +49,17 @@ run_leg () {
 # on this 77%-white-background capture — pure-white render, train PSNR
 # pinned ~11.4 from step ~2000 (death documented in ROUND4.md /
 # DESIGN.md 4b). Later duplicate flags override run_leg's baked-in
-# defaults (override semantics verified in tests), so both legs get
-# the rescue sized to the scene instead of re-burning 20k iters on a
-# known-dead window.
+# defaults (argparse last-wins; asserted by
+# tests/test_utils.py::TestCli::test_repeated_flag_last_wins), so both
+# legs get the rescue sized to the scene instead of re-burning 20k
+# iters on a known-dead window.
+#
+# POSTMORTEM (r5): the restart-safe metrics.json guard meant the rescue
+# flags never actually re-ran these legs — the on-disk artifacts are
+# the ORIGINAL dead runs (bit-identical 11.55 dB curves; ADVICE r4
+# medium #1/#2). The r5 hard-scene search (benchmarks/hardscene_r5.sh)
+# supersedes this script: it probes recipes at 2k iters first and uses
+# the trainer's new sigma-death watchdog + --precrop-iters warmup.
 RESCUE="--sigma-noise-std 4.0 --sigma-noise-decay-steps 8000 --sigma-noise-floor 0.5"
 run_leg hard20k $RESCUE
 run_leg hardocc20k --proposal occupancy $RESCUE

@@ -60,7 +60,7 @@ def campaign_train_legs(tmp_path_factory):
     cmds = capture_campaign_commands(tmp_path_factory.mktemp("capture"))
     legs, seen = [], set()
     for script, argvs in sorted(cmds.items()):
-        if script == "benchmarks/run_r4.sh":
+        if script in ("benchmarks/run_r4.sh", "benchmarks/run_r5.sh"):
             continue  # nested copies of the stage scripts' own commands
         for argv in argvs:
             kind, flags = _classify(argv)

@@ -34,7 +34,12 @@ CAMPAIGN_SCRIPTS = [
     "benchmarks/heldout_levers_r4.sh",
     "benchmarks/flagship80k_r4.sh",
     "benchmarks/grid_r4.sh",  # post-campaign grid-family legs
-    "benchmarks/hardfix_r4.sh",  # post-campaign hard-scene rescue legs
+    # hardfix_r4.sh became a no-op stub in round 5 (its question moved
+    # to the hardscene_r5 probe loop) — nothing to record there.
+    "benchmarks/run_r5.sh",  # round-5 master runner
+    "benchmarks/hardscene_r5.sh",
+    "benchmarks/flagship_r5.sh",
+    "benchmarks/gridreg_r5.sh",
 ]
 
 PYTHON_STUB = """#!/usr/bin/env bash
@@ -145,6 +150,14 @@ def test_scripts_exist_and_record_commands(recorded_commands):
         f"run_r4.sh recorded only {len(master)} commands — a stage is "
         f"silently exiting early: {[c[:3] for c in master]}"
     )
+    # r5 master: bench + hard gen/probes + flagship trains/evals + grid
+    # profile + gridreg + collect (the winner-20k leg is data-dependent
+    # and records only when a probe artifact exists).
+    master5 = recorded_commands["benchmarks/run_r5.sh"]
+    assert len(master5) >= 14, (
+        f"run_r5.sh recorded only {len(master5)} commands — a stage is "
+        f"silently exiting early: {[c[:3] for c in master5]}"
+    )
 
 
 def test_every_command_parses_against_real_configs(recorded_commands):
@@ -189,7 +202,7 @@ def test_train_legs_use_heldout_eval_and_metrics(recorded_commands):
 
     long_legs = []
     for script, cmds in recorded_commands.items():
-        if script == "benchmarks/run_r4.sh":
+        if script in ("benchmarks/run_r4.sh", "benchmarks/run_r5.sh"):
             continue  # nested copies already checked via their own script
         for argv in cmds:
             kind, flags = _classify(argv)

@@ -400,6 +400,33 @@ def test_ema_twin_checkpoint_and_eval(tiny_npz, tmp_path):
     )
     r = eval_mod.main(ecfg)
     assert np.isfinite(r["psnr_mean"])
+    # `--ema` sugar: same twin via the RAW ckpt path (VERDICT r4 item 6
+    # — the best-performing lever was unscoreable at all-views scale).
+    r2 = eval_mod.main(
+        eval_mod.EvalConfig(
+            ckpt_path=cfg.ckpt_path, ema=True, data_path=tiny_npz,
+            out_dir=str(tmp_path / "e2"), views=2, n_samples=8, chunk=128,
+            save_images=False,
+        )
+    )
+    assert r2["psnr_mean"] == r["psnr_mean"]
+
+
+def test_eval_ema_without_twin_fails_loud(tiny_npz, tmp_path):
+    import pytest
+
+    from tinynerf_tpu import eval as eval_mod, train
+
+    cfg = _cfg(tiny_npz, tmp_path, iters=20)  # no --ema-decay: no twin
+    train.main(cfg)
+    with pytest.raises(FileNotFoundError, match="ema"):
+        eval_mod.main(
+            eval_mod.EvalConfig(
+                ckpt_path=cfg.ckpt_path, ema=True, data_path=tiny_npz,
+                out_dir=str(tmp_path / "e3"), views=1, n_samples=8,
+                chunk=128, save_images=False,
+            )
+        )
 
 
 def test_eval_error_maps(tiny_npz, tmp_path):
@@ -447,3 +474,47 @@ def test_sigma_sparsity_trains_all_paths(tiny_npz, tmp_path):
         )
         res = train.main(cfg)
         assert np.isfinite(res["final_psnr"])
+
+
+def test_sigma_death_watchdog_aborts(tiny_npz, tmp_path):
+    """A run pinned at the background floor must abort with rc 3, a
+    saved checkpoint, and a sigma_death metrics row (VERDICT r4 weak #3:
+    r4's hard legs burned 15k+ steps rendering pure white with nothing
+    watching the curve). Forced here via an everything-is-pinned margin."""
+    import json
+
+    from tinynerf_tpu import train
+
+    metrics = str(tmp_path / "m.jsonl")
+    cfg = _cfg(
+        tiny_npz, tmp_path, iters=40, metrics_path=metrics,
+        death_margin=100.0, death_window=1, death_grace=0,
+    )
+    with pytest.raises(SystemExit) as ei:
+        train.main(cfg)
+    assert ei.value.code == 3
+    assert os.path.exists(cfg.ckpt_path)  # postmortem checkpoint saved
+    rows = [json.loads(l) for l in open(metrics)]
+    dead = [r for r in rows if r.get("sigma_death")]
+    assert dead and "bg_psnr" in dead[0]
+
+
+def test_death_check_disabled(tiny_npz, tmp_path):
+    from tinynerf_tpu import train
+
+    cfg = _cfg(
+        tiny_npz, tmp_path, iters=20, death_check=False,
+        death_margin=100.0, death_window=1, death_grace=0,
+    )
+    res = train.main(cfg)  # completes despite the absurd margin
+    assert np.isfinite(res["final_psnr"])
+
+
+def test_precrop_trains_end_to_end(tiny_npz, tmp_path):
+    """--precrop-iters: warmup-cropped run completes and learns."""
+    from tinynerf_tpu import train
+
+    cfg = _cfg(tiny_npz, tmp_path, iters=30, precrop_iters=10,
+               precrop_frac=0.5)
+    res = train.main(cfg)
+    assert np.isfinite(res["final_psnr"])

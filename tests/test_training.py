@@ -4,6 +4,7 @@ determinism under refactoring of step batching."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tinynerf_tpu.models.tinynerf import TinyNeRFConfig
 from tinynerf_tpu.ops.encoding import encoding_dim
@@ -214,3 +215,121 @@ class TestSparsityPrior:
             params = optax.apply_updates(params, upd)
         after = mean_sig(params)
         assert after < before, (before, after)
+
+
+class TestSigmaDeathDetector:
+    def test_background_psnr(self):
+        from tinynerf_tpu.training import background_psnr
+
+        # Half the pixels white, half black: mse vs white = 0.5.
+        pix = jnp.concatenate(
+            [jnp.ones((2, 8, 3)), jnp.zeros((2, 8, 3))], axis=1
+        )
+        bp = background_psnr(pix, white_bkgd=True)
+        assert abs(bp - (-10 * np.log10(0.5))) < 1e-4
+
+    def test_detector_triggers_on_pinned_psnr(self):
+        from tinynerf_tpu.training import SigmaDeathDetector
+
+        det = SigmaDeathDetector(11.5, margin=1.0, window=3, grace=100)
+        # Grace period: pinned values before step 100 don't count.
+        assert not det.update(50, 11.4)
+        # Pinned for `window` consecutive log points after grace -> dead.
+        assert not det.update(100, 11.6)
+        assert not det.update(150, 11.3)
+        assert det.update(200, 12.0)  # third consecutive pinned point
+        assert det.first_pinned_step == 100
+
+    def test_detector_resets_on_recovery(self):
+        from tinynerf_tpu.training import SigmaDeathDetector
+
+        det = SigmaDeathDetector(11.5, margin=1.0, window=2, grace=0)
+        assert not det.update(50, 11.4)
+        assert not det.update(100, 15.0)  # learning: reset
+        assert det.first_pinned_step is None
+        assert not det.update(150, 11.4)
+        assert det.update(200, 11.4)
+
+    def test_detector_disabled_on_all_background_capture(self):
+        from tinynerf_tpu.training import (
+            SigmaDeathDetector,
+            background_psnr,
+        )
+
+        bp = background_psnr(jnp.ones((2, 8, 3)), white_bkgd=True)  # ~100 dB
+        det = SigmaDeathDetector(bp, window=1, grace=0)
+        assert not det.enabled
+        assert not det.update(1000, 50.0)
+
+
+class TestPrecrop:
+    def _rays(self, n_images=2, H=8, W=8):
+        hw = H * W
+        # Encode the pixel index in channel 0 so drawn indices are
+        # recoverable from the returned ray origins.
+        idx = jnp.tile(jnp.arange(hw, dtype=jnp.float32)[None, :], (n_images, 1))
+        ro = jnp.stack([idx, jnp.zeros_like(idx), jnp.zeros_like(idx)], -1)
+        return ro, ro, jnp.zeros((n_images, hw, 3))
+
+    def _center_set(self, H=8, W=8, frac=0.5):
+        ch, cw = int(H * frac), int(W * frac)
+        rlo, clo = (H - ch) // 2, (W - cw) // 2
+        return {
+            (rlo + r) * W + (clo + c) for r in range(ch) for c in range(cw)
+        }
+
+    def test_image_mode_precrop_window(self):
+        from tinynerf_tpu.training import TrainSettings, draw_ray_batch
+
+        s = TrainSettings(
+            n_rand=256, precrop_iters=10, precrop_frac=0.5, image_hw=(8, 8)
+        )
+        ro, rd, px = self._rays()
+        center = self._center_set()
+        # During warmup: every drawn pixel lies in the central window.
+        got, _, _, _ = draw_ray_batch(s, jax.random.PRNGKey(0), 0, ro, rd, px)
+        drawn = set(np.asarray(got[:, 0]).astype(int).tolist())
+        assert drawn <= center, drawn - center
+        # After warmup: the full image is reachable again.
+        got, _, _, _ = draw_ray_batch(s, jax.random.PRNGKey(0), 10, ro, rd, px)
+        drawn = set(np.asarray(got[:, 0]).astype(int).tolist())
+        assert not (drawn <= center)
+
+    def test_pool_mode_precrop_window(self):
+        from tinynerf_tpu.training import TrainSettings, draw_ray_batch
+
+        s = TrainSettings(
+            n_rand=256, ray_sampling="pool", precrop_iters=10,
+            precrop_frac=0.5, image_hw=(8, 8),
+        )
+        ro, rd, px = self._rays()
+        center = self._center_set()
+        got, _, _, _ = draw_ray_batch(s, jax.random.PRNGKey(0), 0, ro, rd, px)
+        drawn = set(np.asarray(got[:, 0]).astype(int).tolist())
+        assert drawn <= center, drawn - center
+        got, _, _, _ = draw_ray_batch(s, jax.random.PRNGKey(0), 11, ro, rd, px)
+        drawn = set(np.asarray(got[:, 0]).astype(int).tolist())
+        assert not (drawn <= center)
+
+    def test_precrop_requires_image_hw(self):
+        from tinynerf_tpu.training import TrainSettings, draw_ray_batch
+
+        s = TrainSettings(n_rand=8, precrop_iters=10)
+        ro, rd, px = self._rays()
+        with pytest.raises(ValueError, match="image_hw"):
+            draw_ray_batch(s, jax.random.PRNGKey(0), 0, ro, rd, px)
+
+    def test_precrop_off_stream_unchanged(self):
+        """precrop_iters=0 must not perturb the historical RNG stream."""
+        from tinynerf_tpu.training import TrainSettings, draw_ray_batch
+
+        ro, rd, px = self._rays()
+        a = draw_ray_batch(
+            TrainSettings(n_rand=32), jax.random.PRNGKey(0), 3, ro, rd, px
+        )
+        b = draw_ray_batch(
+            TrainSettings(n_rand=32, precrop_frac=0.25),
+            jax.random.PRNGKey(0), 3, ro, rd, px,
+        )
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

@@ -45,6 +45,20 @@ class TestCli:
         with pytest.raises(SystemExit):
             cli(_Cfg, args=["--bogus", "1"])
 
+    def test_repeated_flag_last_wins(self):
+        """Duplicate flags: the LAST value wins (argparse semantics).
+        The campaign scripts rely on this to override a baked-in recipe
+        by appending flags (benchmarks/hardscene_r4.sh's rescue legs) —
+        assert it instead of assuming it (ADVICE r4)."""
+        c = cli(_Cfg, args=["--iters", "1", "--iters", "7"])
+        assert c.iters == 7
+        # Booleans are a mutually-exclusive pair: a conflicting
+        # duplicate is a hard argparse error, not a silent last-wins —
+        # safer still for script composition (the conflict surfaces in
+        # the leg's log instead of training the wrong recipe).
+        with pytest.raises(SystemExit):
+            cli(_Cfg, args=["--resume", "--no-resume"])
+
 
 class TestCheckpoint:
     def _state(self, seed=0):

@@ -76,6 +76,24 @@ class Config:
     # the union of all train pixels (full-NeRF batching; decorrelated
     # gradients, no per-image cycling transient)
 
+    # --- warmup ray cropping (anti sigma-death on background-heavy
+    # captures; the original NeRF's precrop trick for white-bkgd Lego) ---
+    precrop_iters: int = 0  # >0: draw rays only from the central
+    # precrop-frac window of each image for this many warmup steps —
+    # re-weights the early gradient toward object pixels so a
+    # background-dominated capture (r4's lattice: 77% white) cannot
+    # push raw sigma negative everywhere before geometry forms
+    precrop_frac: float = 0.5  # side fraction of the central crop
+
+    # --- sigma-death watchdog (VERDICT r4 weak #3: a run pinned at
+    # background PSNR for 15k steps should abort, not burn the window) ---
+    death_check: bool = True  # abort when the train PSNR is pinned
+    # within death-margin dB of the background-only PSNR floor for
+    # death-window consecutive log points (after death-grace steps)
+    death_margin: float = 1.0
+    death_window: int = 20
+    death_grace: int = 1000
+
     # --- density regularization ---
     sigma_noise_std: float = 0.0  # train-time N(0, std) noise on RAW
     # density pre-ReLU (the NeRF paper's raw_noise_std; reference has
@@ -196,6 +214,8 @@ class Config:
             near=0.0 if self.ndc else self.near,
             far=1.0 if self.ndc else self.far,
             ray_sampling=self.ray_sampling,
+            precrop_iters=self.precrop_iters,
+            precrop_frac=self.precrop_frac,
             sigma_noise_std=self.sigma_noise_std,
             sigma_noise_decay_steps=self.sigma_noise_decay_steps,
             sigma_noise_floor=self.sigma_noise_floor,

@@ -36,6 +36,10 @@ class EvalConfig:
     holdout_views: bool = False  # evaluate exactly the poses the
     # checkpoint recorded as held out (meta["holdout"]["indices"];
     # correct for both tail and strided holdouts)
+    ema: bool = False  # score the Polyak-averaged weights: loads the
+    # `<ckpt-path>.ema.npz` twin that train writes when --ema-decay > 0
+    # (same schema, averaged params) — the lever's benefit was otherwise
+    # unmeasured outside the train driver's held-out snapshots
     n_samples: int = 64
     # None = the checkpoint's fine-sample count; an int (incl. 0)
     # overrides it (0 = coarse/grid budget only).
@@ -66,12 +70,23 @@ def main(cfg: EvalConfig = EvalConfig()) -> dict:
     focal = float(d["focal"])
     n_images, H, W, _ = images.shape
 
+    ckpt_path = cfg.ckpt_path
+    if cfg.ema:
+        ckpt_path = cfg.ckpt_path + ".ema.npz"
+        if not os.path.exists(ckpt_path):
+            raise FileNotFoundError(
+                f"--ema: no Polyak twin at {ckpt_path} (the trainer only "
+                "writes it when run with --ema-decay > 0)"
+            )
     params, renderer, meta = load_model_and_renderer(
-        cfg.ckpt_path, H=H, W=W, focal=focal, n_samples=cfg.n_samples,
+        ckpt_path, H=H, W=W, focal=focal, n_samples=cfg.n_samples,
         near=cfg.near, far=cfg.far, chunk=cfg.chunk, fused=cfg.fused,
         n_fine=cfg.n_fine,
     )
-    print(f"[ckpt] {cfg.ckpt_path} (model {meta['model']}, step {meta['step']})")
+    print(
+        f"[ckpt] {ckpt_path} (model {meta['model']}, step {meta['step']}"
+        + (", EMA weights" if cfg.ema else "") + ")"
+    )
 
     if cfg.holdout_views:
         hold = meta.get("holdout")
@@ -104,7 +119,7 @@ def main(cfg: EvalConfig = EvalConfig()) -> dict:
         # depth/acc pseudo-images — render.pack_aux). The duplicate
         # param load is a few MB; not worth complicating the loader API.
         _, aux_renderer, _ = load_model_and_renderer(
-            cfg.ckpt_path, H=H, W=W, focal=focal, n_samples=cfg.n_samples,
+            ckpt_path, H=H, W=W, focal=focal, n_samples=cfg.n_samples,
             near=cfg.near, far=cfg.far, chunk=cfg.chunk, fused=cfg.fused,
             n_fine=cfg.n_fine, aux=True,
         )

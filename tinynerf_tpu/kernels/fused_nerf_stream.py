@@ -61,7 +61,11 @@ from tinynerf_tpu.models.nerf import NeRFConfig
 from tinynerf_tpu.ops.volume import DELTA_INF, TRANS_EPS
 
 DEFAULT_TILE_R = 128
-DEFAULT_SAMPLE_BLOCK = 128
+# 64 beats 128 at the S=512 streamed train recipe on-chip: 127.8k vs
+# 121.4k rays/s (+5.3%, benchmarks/r4/tile_sweep.json nerf_s512_block);
+# 256 fails Mosaic compilation (scoped-vmem). Smaller blocks trade a
+# few more scan iterations for less VMEM pressure per step.
+DEFAULT_SAMPLE_BLOCK = 64
 
 
 def pick_sample_block(S: int, cap: int = DEFAULT_SAMPLE_BLOCK) -> int:

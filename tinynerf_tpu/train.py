@@ -73,6 +73,26 @@ def main(cfg: Config) -> dict:
     )
 
     settings = cfg.train_settings()
+    if cfg.precrop_iters > 0:
+        import dataclasses as _dc
+
+        # The crop window needs the image geometry (compile-time
+        # constant; training.draw_ray_batch reads it).
+        settings = _dc.replace(settings, image_hw=(H, W))
+        print(
+            f"[train] precrop warmup: central {cfg.precrop_frac:.2f} "
+            f"window for the first {cfg.precrop_iters} steps"
+        )
+    # Echo the EFFECTIVE regularizer config (ADVICE r4: the hard-scene
+    # legs' logs could not prove whether the rescue noise flags reached
+    # the run — this line is the proof).
+    print(
+        f"[train] ray_sampling={settings.ray_sampling} "
+        f"sigma_noise(std={settings.sigma_noise_std}, "
+        f"decay_steps={settings.sigma_noise_decay_steps}, "
+        f"floor={settings.sigma_noise_floor}) "
+        f"weight_decay={settings.weight_decay} ema_decay={settings.ema_decay}"
+    )
     key = jax.random.PRNGKey(cfg.seed)
 
     if cfg.proposal not in ("coarse", "occupancy"):
@@ -508,6 +528,23 @@ def main(cfg: Config) -> dict:
         )
         save(cfg.ckpt_path, params, opt_state, step, meta=_meta())
 
+    death = None
+    if cfg.death_check:
+        from tinynerf_tpu.training import SigmaDeathDetector, background_psnr
+
+        bg_psnr = background_psnr(pixels, white_bkgd=settings.white_bkgd)
+        death = SigmaDeathDetector(
+            bg_psnr, margin=cfg.death_margin, window=cfg.death_window,
+            grace=cfg.death_grace,
+        )
+        if death.enabled:
+            print(
+                f"[train] sigma-death watchdog: background floor "
+                f"{bg_psnr:.2f} dB (aborts if train PSNR pins within "
+                f"{cfg.death_margin} dB of it for {cfg.death_window} "
+                f"log points after step {cfg.death_grace})"
+            )
+
     blocks = {}  # block_size -> compiled fn
     metrics_f = open(cfg.metrics_path, "a") if cfg.metrics_path else None
     if cfg.profile_dir:
@@ -549,6 +586,39 @@ def main(cfg: Config) -> dict:
                 if metrics_f:
                     metrics_f.write(json.dumps({"step": step_end, **last}) + "\n")
                     metrics_f.flush()
+                if death is not None and death.update(step_end, last["psnr"]):
+                    save_ckpt(step_end)
+                    if metrics_f:
+                        metrics_f.write(
+                            json.dumps(
+                                {
+                                    "step": step_end,
+                                    "sigma_death": True,
+                                    "bg_psnr": round(death.bg_psnr, 3),
+                                    "pinned_since": death.first_pinned_step,
+                                }
+                            )
+                            + "\n"
+                        )
+                        metrics_f.flush()
+                    print(
+                        f"\n[SIGMA DEATH] train PSNR pinned within "
+                        f"{cfg.death_margin} dB of the background-only "
+                        f"floor ({death.bg_psnr:.2f} dB) for "
+                        f"{cfg.death_window} consecutive log points "
+                        f"(since step {death.first_pinned_step}): the "
+                        "render is background-constant — raw sigma has "
+                        "collapsed below the ReLU, gradients are zero, "
+                        "and the run cannot recover. Rescue levers: "
+                        "--precrop-iters 500 (center-crop warmup), "
+                        "--sigma-noise-std/--sigma-noise-decay-steps "
+                        "sized to the scene, --ray-sampling image, or "
+                        "--model grid. Aborting instead of burning the "
+                        f"remaining {cfg.iters - step_end} steps "
+                        "(checkpoint saved; --no-death-check disables).",
+                        flush=True,
+                    )
+                    raise SystemExit(3)
 
             if (
                 cfg.eval_every > 0

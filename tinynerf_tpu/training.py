@@ -86,6 +86,20 @@ class TrainSettings:
     # batching, decorrelates the gradient and removes the per-image
     # cycling transient (the step-2000 dip in BASELINE.md).
     ray_sampling: str = "image"
+    # >0: for the first precrop_iters steps, draw rays only from the
+    # central precrop_frac x precrop_frac window of each image — the
+    # original NeRF's precrop warmup (nerf-pytorch precrop_iters=500 on
+    # the white-background Lego scene). On captures dominated by
+    # background (r4's lattice: 77% white) the uncropped early gradient
+    # pushes raw sigma negative everywhere and the run dies of sigma
+    # collapse; the crop re-weights the warmup toward object pixels.
+    # Requires image_hw (the trainer sets it from the data).
+    precrop_iters: int = 0
+    precrop_frac: float = 0.5
+    # (H, W) of the training images — only needed (and only set) when
+    # precrop_iters > 0; part of the static settings so the crop window
+    # is compile-time constant.
+    image_hw: Any = None
     model_cfg: TinyNeRFConfig = TinyNeRFConfig()
 
 
@@ -176,6 +190,63 @@ def settings_optimizer(s: TrainSettings) -> optax.GradientTransformation:
     )
 
 
+class SigmaDeathDetector:
+    """Aborts runs whose render has collapsed to the background.
+
+    Total sigma death (docs/DESIGN.md 4b): once raw sigma goes negative
+    at every sample, ReLU gradients are exactly zero and Adam momentum
+    makes the death permanent — the render is an input-independent
+    background and the train PSNR pins at the background-only score.
+    r4's hard-scene legs burned 2x20k chip-steps in exactly this state
+    (pinned at 11.5 dB from ~step 2000, VERDICT r4 weak #3) with
+    nothing watching the curve.
+
+    The detector compares each logged train PSNR against the PSNR of
+    rendering the background color for every train pixel (`bg_psnr`):
+    `window` consecutive log points within `margin` dB of that floor,
+    after a `grace` warmup, means dead. A near-infinite floor (an
+    all-background capture, bg_mse ~ 0) disables the check — there is
+    nothing to die."""
+
+    def __init__(
+        self,
+        bg_psnr: float,
+        margin: float = 1.0,
+        window: int = 20,
+        grace: int = 1000,
+    ):
+        self.bg_psnr = float(bg_psnr)
+        self.margin = float(margin)
+        self.window = int(window)
+        self.grace = int(grace)
+        self.enabled = self.bg_psnr < 60.0  # ~all-background capture guard
+        self._run = 0
+        self.first_pinned_step = None
+
+    def update(self, step: int, psnr: float) -> bool:
+        """Record one logged train PSNR; True => declare sigma death."""
+        if not self.enabled or step < self.grace:
+            return False
+        if psnr < self.bg_psnr + self.margin:
+            if self._run == 0:
+                self.first_pinned_step = step
+            self._run += 1
+        else:
+            self._run = 0
+            self.first_pinned_step = None
+        return self._run >= self.window
+
+
+def background_psnr(pixels, white_bkgd: bool = True) -> float:
+    """PSNR of predicting the background color for every train pixel —
+    the score a sigma-dead (background-constant) render pins at."""
+    import numpy as np
+
+    bg = 1.0 if white_bkgd else 0.0
+    mse = float(jnp.mean((pixels.astype(jnp.float32) - bg) ** 2))
+    return float(-10.0 * np.log10(max(mse, 1e-10)))
+
+
 def noise_scale_kwargs(s, step) -> Dict[str, jax.Array]:
     """`{"noise_scale": ...}` when sigma-noise decay is configured, else
     {} — call sites splat this so decay-off traces (and external
@@ -238,17 +309,50 @@ def draw_ray_batch(s, key, step, rays_o_all, rays_d_all, pixels):
     n_images, hw = rays_o_all.shape[0], rays_o_all.shape[1]
     k_step = jax.random.fold_in(key, step)
     k_inds, k_jitter = jax.random.split(k_step)
+
+    def _apply_precrop(pix_inds, k):
+        """While step < precrop_iters, replace the per-image pixel draw
+        with one restricted to the central crop window (branchless:
+        precrop_iters is static, `step` is traced via jnp.where)."""
+        pc = getattr(s, "precrop_iters", 0)
+        if pc <= 0:
+            return pix_inds
+        if s.image_hw is None:
+            raise ValueError(
+                "precrop_iters > 0 requires image_hw=(H, W) in settings "
+                "(the train driver sets it from the loaded data)"
+            )
+        H, W = s.image_hw
+        frac = s.precrop_frac
+        ch, cw = max(1, int(H * frac)), max(1, int(W * frac))
+        rlo, clo = (H - ch) // 2, (W - cw) // 2
+        k_center = jax.random.fold_in(k, 1)
+        kk = jax.random.randint(k_center, pix_inds.shape, 0, ch * cw)
+        center = (rlo + kk // cw) * W + (clo + kk % cw)
+        return jnp.where(step < pc, center, pix_inds)
+
     if s.ray_sampling == "pool":
         # Cross-image ray batching: one gather from the flattened
         # (N*HW) pixel pool (free reshape; the gather is the same cost
         # as the per-image one).
         inds = jax.random.randint(k_inds, (s.n_rand,), 0, n_images * hw)
+        if getattr(s, "precrop_iters", 0) > 0:
+            # Crop within each image: keep the drawn image, re-draw the
+            # pixel inside the center window during the warmup.
+            img = inds // hw
+            inds = jnp.where(
+                step < s.precrop_iters,
+                img * hw + _apply_precrop(inds % hw, k_inds),
+                inds,
+            )
         ro = rays_o_all.reshape(n_images * hw, 3)[inds]
         rd = rays_d_all.reshape(n_images * hw, 3)[inds]
         target = pixels.reshape(n_images * hw, 3)[inds]
     else:
         img_i = jnp.mod(step, n_images)
-        inds = jax.random.randint(k_inds, (s.n_rand,), 0, hw)
+        inds = _apply_precrop(
+            jax.random.randint(k_inds, (s.n_rand,), 0, hw), k_inds
+        )
         ro = rays_o_all[img_i][inds]
         rd = rays_d_all[img_i][inds]
         target = pixels[img_i][inds]
