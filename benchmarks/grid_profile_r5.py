@@ -259,6 +259,21 @@ def main():
     print(f"[profile] train_full: {out['train_full_ms']} ms "
           f"({out['train_full_rays_per_s']} rays/s)", flush=True)
 
+    # The candidate strategies as the PRODUCTION path end to end (the
+    # encode_* micro-sections above isolate the op; these decide the
+    # models/grid_nerf.GridNeRFConfig.encode_impl default).
+    import dataclasses as _dc0
+
+    for impl in ("cat", "cat_pib"):
+        gcfg_v = _dc0.replace(gcfg, encode_impl=impl)
+        dt = run_block(
+            make_grid_loss(gcfg_v), init_grid_nerf(jax.random.PRNGKey(0), gcfg_v)
+        )
+        out[f"train_full_{impl}_ms"] = round(dt * 1e3, 3)
+        out[f"train_full_{impl}_rays_per_s"] = round(2048 / dt, 1)
+        print(f"[profile] train_full_{impl}: {out[f'train_full_{impl}_ms']} ms "
+              f"({out[f'train_full_{impl}_rays_per_s']} rays/s)", flush=True)
+
     # MLP-only twin: identical step with the gather encoder swapped for
     # a dense projection (same feature width).
     import dataclasses as _dc

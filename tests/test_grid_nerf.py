@@ -319,3 +319,51 @@ class TestDriver:
         )
         assert gif is None or gif  # main returns None; file must exist
         assert (tmp_path / "g.gif").exists()
+
+
+class TestEncodeImplParity:
+    """The cat/cat_pib gather strategies (one concatenated table, one
+    gather for all levels+corners) must be bit-compatible with the
+    per-level loop — value AND table-gradient parity (the backward is a
+    scatter-add whose transpose differs structurally between paths)."""
+
+    def _variants(self):
+        import dataclasses
+
+        return [
+            dataclasses.replace(TINY, encode_impl=impl)
+            for impl in ("cat", "cat_pib")
+        ]
+
+    def test_value_parity(self):
+        params = init_grid_nerf(jax.random.PRNGKey(0), TINY)
+        pts = jax.random.uniform(
+            jax.random.PRNGKey(1), (257, 3), jnp.float32, -1.3, 1.3
+        )  # includes out-of-box points (clamp path)
+        ref = np.asarray(grid_encode(params["tables"], pts, TINY))
+        for cfg in self._variants():
+            v = np.asarray(grid_encode(params["tables"], pts, cfg))
+            np.testing.assert_allclose(v, ref, rtol=0, atol=1e-6)
+
+    def test_table_grad_parity(self):
+        params = init_grid_nerf(jax.random.PRNGKey(0), TINY)
+        pts = jax.random.uniform(
+            jax.random.PRNGKey(2), (129, 3), jnp.float32, -1.0, 1.0
+        )
+        cot = jax.random.normal(
+            jax.random.PRNGKey(3), (129, TINY.n_levels * TINY.features)
+        )
+
+        def g(cfg):
+            return jax.grad(
+                lambda t: jnp.sum(grid_encode(t, pts, cfg) * cot)
+            )(params["tables"])
+
+        ref = g(TINY)
+        for cfg in self._variants():
+            got = g(cfg)
+            for k in ref:
+                np.testing.assert_allclose(
+                    np.asarray(got[k]), np.asarray(ref[k]),
+                    rtol=0, atol=1e-5, err_msg=f"{cfg.encode_impl}:{k}",
+                )

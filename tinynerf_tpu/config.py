@@ -69,6 +69,10 @@ class Config:
     grid_max_res: int = 128  # finest grid resolution
     grid_table_size: int = 1 << 17  # entries/level cap (finer levels hash)
     grid_hidden: int = 64  # grid-MLP width (both branches)
+    grid_encode_impl: str = "loop"  # "loop" | "cat" | "cat_pib" — gather
+    # strategy, numerically identical (models/grid_nerf.GridNeRFConfig.
+    # encode_impl); default follows the measured on-chip attribution
+    # (benchmarks/r5/grid_profile.json)
 
     # --- ray batching ---
     ray_sampling: str = "image"  # "image": one image per step (reference
@@ -200,6 +204,7 @@ class Config:
             hidden=self.grid_hidden,
             num_freqs_dir=self.num_freqs_dir,
             compute_dtype=jnp.bfloat16 if self.bf16 else jnp.float32,
+            encode_impl=self.grid_encode_impl,
             **kw,
         )
 

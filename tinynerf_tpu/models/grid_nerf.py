@@ -70,6 +70,19 @@ class GridNeRFConfig:
         -4.0, -4.0, -4.0, 4.0, 4.0, 4.0,
     )
     compute_dtype: jnp.dtype = jnp.bfloat16
+    # Gather strategy (numerically identical paths, parity-tested):
+    #   "loop"    one jnp.take per level (n_levels serialized gathers)
+    #   "cat"     all levels' tables concatenated per step into ONE
+    #             (sum_T, F) buffer, every level+corner fetched by ONE
+    #             gather — removes the per-level op serialization; the
+    #             concat copy is ~1 MB/step, noise next to the gather.
+    #   "cat_pib" same, with GatherScatterMode.PROMISE_IN_BOUNDS
+    #             (indices are in range by construction: dense ids are
+    #             clamped, hashed ids are masked) — drops the OOB
+    #             select XLA emits on the gather and its transpose
+    #             scatter. Default chosen from the measured on-chip
+    #             attribution (benchmarks/r5/grid_profile.json).
+    encode_impl: str = "loop"
 
     def level_resolutions(self) -> Tuple[int, ...]:
         """Geometric ladder base_res -> max_res over n_levels."""
@@ -144,36 +157,70 @@ def grid_encode(tables: Params, pts: jax.Array, cfg: GridNeRFConfig) -> jax.Arra
     lo = jnp.asarray(cfg.aabb[:3], jnp.float32)
     hi = jnp.asarray(cfg.aabb[3:], jnp.float32)
     u = jnp.clip((pts.astype(jnp.float32) - lo) / (hi - lo), 0.0, 1.0)
-    corners = jnp.asarray(_CORNERS)  # (8, 3)
-    outs = []
+    lins, ws = [], []
     for l, (res, dense) in enumerate(
         zip(cfg.level_resolutions(), cfg.level_is_dense())
     ):
-        xs = u * res  # corner coords in [0, res]
-        i0 = jnp.floor(xs).astype(jnp.int32)
-        i0 = jnp.minimum(i0, res - 1)  # u==1.0 lands in the last cell
-        f = xs - i0.astype(jnp.float32)  # (N, 3) in [0, 1]
-        ids = i0[:, None, :] + corners[None, :, :]  # (N, 8, 3)
-        if dense:
-            side = res + 1
-            lin = (ids[..., 0] * side + ids[..., 1]) * side + ids[..., 2]
+        lin, w = _level_ids(u, res, dense, cfg.table_size)
+        lins.append(lin)
+        ws.append(w)
+
+    if cfg.encode_impl in ("cat", "cat_pib"):
+        # One (sum_T, F) buffer + ONE gather for every level and corner
+        # (vs n_levels serialized jnp.takes). The per-step concat copy
+        # is tiny next to the gather; its gradient is a slice of the
+        # one big scatter-add.
+        sizes = cfg.level_table_sizes()
+        offs = np.concatenate([[0], np.cumsum(sizes[:-1])]).astype(np.int32)
+        big = jnp.concatenate(
+            [tables[f"l{l}"] for l in range(cfg.n_levels)], axis=0
+        )
+        lin_all = jnp.stack(
+            [lin + offs[l] for l, lin in enumerate(lins)], axis=1
+        )  # (N, L, 8)
+        if cfg.encode_impl == "cat_pib":
+            feats = big.at[lin_all].get(mode="promise_in_bounds")
         else:
-            # xor-prime spatial hash mod table_size (power of two, so
-            # the mod is a mask). uint32 wraparound is the hash's
-            # intended arithmetic.
-            h = ids.astype(jnp.uint32)
-            lin = (
-                h[..., 0] * np.uint32(_HASH_PRIMES[0])
-                ^ h[..., 1] * np.uint32(_HASH_PRIMES[1])
-                ^ h[..., 2] * np.uint32(_HASH_PRIMES[2])
-            ) & np.uint32(cfg.table_size - 1)
-            lin = lin.astype(jnp.int32)
-        feats = jnp.take(tables[f"l{l}"], lin, axis=0)  # (N, 8, F)
-        # Trilinear weights: prod over dims of (f if corner bit else 1-f).
-        cb = corners[None].astype(jnp.float32)  # (1, 8, 3)
-        w = jnp.prod(cb * f[:, None, :] + (1.0 - cb) * (1.0 - f[:, None, :]), axis=-1)
-        outs.append(jnp.sum(w[..., None] * feats, axis=1))  # (N, F)
+            feats = jnp.take(big, lin_all, axis=0)  # (N, L, 8, F)
+        w_all = jnp.stack(ws, axis=1)  # (N, L, 8)
+        return jnp.sum(w_all[..., None] * feats, axis=2).reshape(
+            pts.shape[0], -1
+        )
+
+    outs = [
+        jnp.sum(w[..., None] * jnp.take(tables[f"l{l}"], lin, axis=0), axis=1)
+        for l, (lin, w) in enumerate(zip(lins, ws))
+    ]
     return jnp.concatenate(outs, axis=-1)
+
+
+def _level_ids(u, res: int, dense: bool, table_size: int):
+    """Per-level corner ids + trilinear weights for normalized points
+    u in [0,1]^3 -> (lin (N, 8) int32, w (N, 8) fp32)."""
+    corners = jnp.asarray(_CORNERS)  # (8, 3)
+    xs = u * res  # corner coords in [0, res]
+    i0 = jnp.floor(xs).astype(jnp.int32)
+    i0 = jnp.minimum(i0, res - 1)  # u==1.0 lands in the last cell
+    f = xs - i0.astype(jnp.float32)  # (N, 3) in [0, 1]
+    ids = i0[:, None, :] + corners[None, :, :]  # (N, 8, 3)
+    if dense:
+        side = res + 1
+        lin = (ids[..., 0] * side + ids[..., 1]) * side + ids[..., 2]
+    else:
+        # xor-prime spatial hash mod table_size (power of two, so the
+        # mod is a mask). uint32 wraparound is the hash's intended
+        # arithmetic.
+        h = ids.astype(jnp.uint32)
+        lin = (
+            h[..., 0] * np.uint32(_HASH_PRIMES[0])
+            ^ h[..., 1] * np.uint32(_HASH_PRIMES[1])
+            ^ h[..., 2] * np.uint32(_HASH_PRIMES[2])
+        ) & np.uint32(table_size - 1)
+        lin = lin.astype(jnp.int32)
+    # Trilinear weights: prod over dims of (f if corner bit else 1-f).
+    cb = corners[None].astype(jnp.float32)  # (1, 8, 3)
+    w = jnp.prod(cb * f[:, None, :] + (1.0 - cb) * (1.0 - f[:, None, :]), axis=-1)
+    return lin, w
 
 
 def _dense_layer(h, wb, dt):
