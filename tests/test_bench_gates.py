@@ -404,6 +404,10 @@ def test_bench_main_wiring_cpu(monkeypatch, capsys):
     # See test_bench_degrades_to_artifact_on_backend_failure: never
     # wait on a LIVE campaign's chip lock from the test suite.
     monkeypatch.setenv("BENCH_SKIP_CAMPAIGN_LOCK", "1")
+    # This test exercises the LIVE section flow; without this, a
+    # same-round campaign artifact on disk (present whenever the suite
+    # runs mid-campaign) short-circuits main() into the replay path.
+    monkeypatch.setenv("BENCH_FORCE_LIVE", "1")
     monkeypatch.setattr(
         bench, "_measure_train_rays_per_sec",
         lambda *a, **k: (1e6, 1e-3, {"p50_ms": 1.0, "p95_ms": 1.2, "max_ms": 2.0}),

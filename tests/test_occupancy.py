@@ -121,11 +121,17 @@ def test_aabb_from_rays_covers_all_sample_points():
 
 
 def test_pick_sample_block():
-    assert pick_sample_block(192) == 96
-    assert pick_sample_block(448) == 112
-    assert pick_sample_block(512) == 128
+    # Default cap is 64 (measured: 64 beats 128 at the S=512 streamed
+    # train recipe, benchmarks/r4/tile_sweep.json).
+    assert pick_sample_block(192) == 64
+    assert pick_sample_block(448) == 64
+    assert pick_sample_block(512) == 64
     assert pick_sample_block(64) == 64
     assert pick_sample_block(7) == 7
+    # Divisor search under an explicit cap (S with no divisor == cap).
+    assert pick_sample_block(192, cap=128) == 96
+    assert pick_sample_block(448, cap=128) == 112
+    assert pick_sample_block(96, cap=64) == 48
 
 
 def test_occupancy_train_block_learns_and_fused_matches_xla():

@@ -70,7 +70,8 @@ DEFAULT_SAMPLE_BLOCK = 64
 
 def pick_sample_block(S: int, cap: int = DEFAULT_SAMPLE_BLOCK) -> int:
     """Largest divisor of S that is <= cap — the streamed kernels
-    require sample_block | S (e.g. S=192 -> 96, S=448 -> 112).
+    require sample_block | S (e.g. S=192 -> 64; S=448 with cap=128
+    -> 112).
 
     A pathological S (e.g. prime, from an arbitrary eval --n-fine)
     only has tiny divisors, making the kernel run S/b inner blocks —
